@@ -1,0 +1,244 @@
+"""Configuration tree for cutie_tpu.
+
+A small attribute-dict config system with YAML support, preserving the
+capability surface of the reference's Hydra/OmegaConf configs
+(cutie/config/eval_config.yaml, cutie/config/model/{base,small}.yaml):
+config groups, defaults, CLI-style dotted overrides, and safe runtime
+updates of the memory budgets.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Iterator, Optional
+
+
+class Config:
+    """A nested attribute/item-access config node.
+
+    `cfg.model.key_dim` == `cfg['model']['key_dim']`. Deliberately NOT a dict
+    subclass so flax.linen leaves it alone when used as a Module field
+    (dicts would be converted to FrozenDict).
+    """
+
+    def __init__(self, data: Optional[Dict[str, Any]] = None, **kwargs):
+        data = dict(data or {})
+        data.update(kwargs)
+        for k, v in data.items():
+            self[k] = v
+
+    # -- mapping protocol ----------------------------------------------------
+    def __setitem__(self, k, v):
+        if isinstance(v, dict):
+            v = Config(v)
+        object.__setattr__(self, k, v)
+
+    def __getitem__(self, k):
+        try:
+            return self.__dict__[k]
+        except KeyError:
+            raise KeyError(k)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def __contains__(self, k):
+        return k in self.__dict__
+
+    def __iter__(self):
+        return iter(self.__dict__)
+
+    def __len__(self):
+        return len(self.__dict__)
+
+    def __eq__(self, other):
+        return isinstance(other, Config) and self.__dict__ == other.__dict__
+
+    def __repr__(self):
+        return f"Config({self.__dict__!r})"
+
+    def keys(self):
+        return self.__dict__.keys()
+
+    def values(self):
+        return self.__dict__.values()
+
+    def items(self):
+        return self.__dict__.items()
+
+    def get(self, k, default=None):
+        return self.__dict__.get(k, default)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self.items()}
+
+    def __deepcopy__(self, memo):
+        return Config({k: copy.deepcopy(v, memo) for k, v in self.items()})
+
+    def copy(self) -> "Config":
+        return copy.deepcopy(self)
+
+    def merge(self, other: Dict[str, Any]) -> "Config":
+        """Recursive in-place merge; `other` wins. Returns self."""
+        for k, v in other.items():
+            if k in self and isinstance(self[k], Config) and isinstance(v, dict):
+                self[k].merge(v)
+            else:
+                self[k] = v
+        return self
+
+    def override(self, dotted: str, value: Any) -> "Config":
+        """Apply a single hydra-style dotted override, e.g. 'long_term.max_num_tokens'."""
+        keys = dotted.split(".")
+        node = self
+        for k in keys[:-1]:
+            if k not in node or not isinstance(node[k], Config):
+                node[k] = Config()
+            node = node[k]
+        node[keys[-1]] = value
+        return self
+
+    def apply_overrides(self, overrides: Iterator[str]) -> "Config":
+        """Apply a list of 'a.b.c=value' strings (values parsed as YAML scalars)."""
+        import yaml
+
+        for ov in overrides:
+            key, _, raw = ov.partition("=")
+            self.override(key.strip(), yaml.safe_load(raw))
+        return self
+
+    @staticmethod
+    def from_yaml(path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            return Config(yaml.safe_load(f))
+
+
+def model_base() -> Config:
+    """Mirrors reference cutie/config/model/base.yaml."""
+    embed_dim = 256
+    return Config({
+        "pixel_mean": [0.485, 0.456, 0.406],
+        "pixel_std": [0.229, 0.224, 0.225],
+        "pixel_dim": 256,
+        "key_dim": 64,
+        "value_dim": 256,
+        "sensory_dim": 256,
+        "embed_dim": embed_dim,
+        "pixel_encoder": {"type": "resnet50", "ms_dims": [1024, 512, 256]},
+        "mask_encoder": {"type": "resnet18", "final_dim": 256},
+        "pixel_pe_scale": 32,
+        "pixel_pe_temperature": 128,
+        "object_transformer": {
+            "embed_dim": embed_dim,
+            "ff_dim": 2048,
+            "num_heads": 8,
+            "num_blocks": 3,
+            "num_queries": 16,
+            "read_from_pixel": {"add_pe_to_qkv": [True, True, False]},
+            "read_from_query": {"add_pe_to_qkv": [True, True, False], "output_norm": False},
+            "query_self_attention": {"add_pe_to_qkv": [True, True, False]},
+        },
+        "object_summarizer": {
+            "embed_dim": embed_dim,
+            "num_summaries": 16,
+            "add_pe": True,
+        },
+        "aux_loss": {
+            "sensory": {"enabled": True, "weight": 0.01},
+            "query": {"enabled": True, "weight": 0.01},
+        },
+        "mask_decoder": {"up_dims": [256, 128, 128]},
+    })
+
+
+def model_small() -> Config:
+    """Mirrors reference cutie/config/model/small.yaml."""
+    cfg = model_base()
+    cfg.pixel_encoder = Config({"type": "resnet18", "ms_dims": [256, 128, 64]})
+    return cfg
+
+
+_DATASETS: Dict[str, Dict[str, Any]] = {
+    # mirrors reference cutie/config/eval_config.yaml:54-147
+    "d16-val": dict(size=480, save_all=True, use_all_masks=False, use_long_term=False, mem_every=5),
+    "d17-val": dict(size=480, save_all=True, use_all_masks=False, use_long_term=False, mem_every=5),
+    "d17-test-dev": dict(size=480, save_all=True, use_all_masks=False, use_long_term=False,
+                         mem_every=5),
+    "y18-val": dict(size=480, save_all=False, use_all_masks=True, use_long_term=False, mem_every=5),
+    "y19-val": dict(size=480, save_all=False, use_all_masks=True, use_long_term=False, mem_every=5),
+    "mose-val": dict(size=480, save_all=True, use_all_masks=False, use_long_term=False,
+                     mem_every=5),
+    "generic": dict(size=-1, save_all=True, use_all_masks=False, use_long_term=True, mem_every=5),
+    "burst-val": dict(size=600, save_all=False, use_long_term=True, mem_every=10, skip_frames=-1),
+    "burst-test": dict(size=600, save_all=False, use_long_term=True, mem_every=10, skip_frames=-1),
+    "lvos-val": dict(size=480, save_all=False, use_all_masks=True, use_long_term=True, mem_every=5),
+    "lvos-test": dict(size=480, save_all=False, use_all_masks=True, use_long_term=True,
+                      mem_every=5),
+}
+
+
+def eval_config(model: str = "base") -> Config:
+    """Mirrors reference cutie/config/eval_config.yaml top-level defaults."""
+    return Config({
+        "model": model_base() if model == "base" else model_small(),
+        "exp_id": "default",
+        "dataset": "d17-val",
+        "amp": False,
+        "weights": "output/cutie-base-mega.pth",
+        "output_dir": None,
+        "flip_aug": False,
+        "max_internal_size": -1,
+        "image_directory": None,
+        "mask_directory": None,
+        "json_directory": None,
+        "size": None,
+        "save_all": None,
+        "use_all_masks": None,
+        "use_long_term": None,
+        "mem_every": None,
+        "max_mem_frames": 5,
+        "long_term": {
+            "count_usage": True,
+            "max_mem_frames": 10,
+            "min_mem_frames": 5,
+            "num_prototypes": 128,
+            "max_num_tokens": 10000,
+            "buffer_tokens": 2000,
+        },
+        "top_k": 30,
+        "stagger_updates": 5,
+        "chunk_size": -1,
+        "save_scores": False,
+        "save_aux": False,
+        "visualize": False,
+        # --- TPU-specific knobs (no reference equivalent) ---
+        # number of object slots the jitted step is padded to; -1 = auto-bucket
+        "max_objects": -1,
+        # number of permanent frames the permanent buffer is sized for
+        "perm_frame_capacity": 1,
+        # compute dtype for the conv/transformer stacks ('float32' | 'bfloat16')
+        "compute_dtype": "float32",
+        "datasets": {k: dict(v) for k, v in _DATASETS.items()},
+    })
+
+
+def get_dataset_cfg(cfg: Config) -> Config:
+    """Merge the per-dataset block into the top level, honoring explicit top-level
+    overrides (mirrors reference cutie/inference/utils/args_utils.py:7-30)."""
+    dataset_name = cfg.dataset
+    data_cfg = Config(cfg.datasets[dataset_name])
+    potential_overrides = [
+        "image_directory", "mask_directory", "json_directory", "size", "save_all",
+        "use_all_masks", "use_long_term", "mem_every",
+    ]
+    for key in potential_overrides:
+        if cfg.get(key) is not None:
+            data_cfg[key] = cfg[key]
+        # populate top-level from dataset defaults so downstream reads are uniform
+        if key in data_cfg:
+            cfg[key] = data_cfg[key]
+    if "use_long_term" not in data_cfg or data_cfg.get("use_long_term") is None:
+        data_cfg["use_long_term"] = False
+        cfg["use_long_term"] = cfg.get("use_long_term") or False
+    return data_cfg

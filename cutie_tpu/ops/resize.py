@@ -1,0 +1,55 @@
+"""Resize primitives matching the reference's torch.nn.functional.interpolate modes.
+
+- bilinear, align_corners=False  -> half-pixel-centered linear resize
+  (jax.image.resize 'linear' uses the same convention).
+- area downsample with an integer factor -> exact average pooling
+  (the reference only ever area-downsamples by integer factors: 2, 4, 16 —
+   cutie/model/modules.py:59-60, cutie/model/cutie.py:149,
+   cutie/model/transformer/object_summarizer.py:63).
+- nearest-exact lives host-side in the inference shell (numpy).
+
+All functions operate on channels-last arrays [..., H, W, C]; leading axes
+are treated as batch.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Half-pixel bilinear resize of the (-3, -2) spatial axes.
+    Matches torch F.interpolate(mode='bilinear', align_corners=False)."""
+    out_shape = x.shape[:-3] + (out_h, out_w) + x.shape[-1:]
+    return jax.image.resize(x, out_shape, method="linear")
+
+
+def upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    return bilinear_resize(x, x.shape[-3] * 2, x.shape[-2] * 2)
+
+
+def upsample_4x(x: jnp.ndarray) -> jnp.ndarray:
+    return bilinear_resize(x, x.shape[-3] * 4, x.shape[-2] * 4)
+
+
+def area_downsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Average-pool by an integer factor over the (-3, -2) spatial axes.
+    Exactly equals torch F.interpolate(mode='area') for integer ratios."""
+    *lead, h, w, c = x.shape
+    assert h % factor == 0 and w % factor == 0, (h, w, factor)
+    x = x.reshape(*lead, h // factor, factor, w // factor, factor, c)
+    return x.mean(axis=(-4, -2))
+
+
+def nearest_exact_resize_np(mask, out_h: int, out_w: int):
+    """Host-side numpy equivalent of torch F.interpolate(mode='nearest-exact')
+    for 2D index masks (reference cutie/inference/inference_core.py:221-223)."""
+    import numpy as np
+
+    h, w = mask.shape[-2:]
+    # nearest-exact: sample at half-pixel centers, round-half-down via floor(x+0.5)
+    ys = np.floor((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64)
+    xs = np.floor((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64)
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    return mask[..., ys[:, None], xs[None, :]]
