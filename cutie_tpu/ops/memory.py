@@ -43,16 +43,19 @@ def get_similarity(mk: jnp.ndarray,
     qk = qk.astype(jnp.float32)
     ck = mk.shape[-1]
 
+    # fp32 multiplies (precision HIGHEST): the top-k selection boundary is
+    # sensitive to similarity noise, and the reference computes this in fp32
+    prec = jax.lax.Precision.HIGHEST
     if qe is not None:
         qe = qe.astype(jnp.float32)
         # sim[p,n] = -sum_c qe[p,c] * (mk[n,c] - qk[p,c])^2
-        a_sq = jnp.einsum("bpc,bnc->bpn", qe, mk * mk)
-        two_ab = 2.0 * jnp.einsum("bpc,bnc->bpn", qk * qe, mk)
+        a_sq = jnp.einsum("bpc,bnc->bpn", qe, mk * mk, precision=prec)
+        two_ab = 2.0 * jnp.einsum("bpc,bnc->bpn", qk * qe, mk, precision=prec)
         b_sq = jnp.sum(qe * qk * qk, axis=-1, keepdims=True)
         similarity = -a_sq + two_ab - b_sq
     else:
         a_sq = jnp.sum(mk * mk, axis=-1)[:, None, :]
-        two_ab = 2.0 * jnp.einsum("bpc,bnc->bpn", qk, mk)
+        two_ab = 2.0 * jnp.einsum("bpc,bnc->bpn", qk, mk, precision=prec)
         similarity = -a_sq + two_ab
 
     if ms is not None:
@@ -115,6 +118,9 @@ def readout(affinity: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
            or [B, O, N, Cv]     -> returns [B, O, P, Cv]
     (parity: memory_utils.py:88-95 / memory_manager.py:77-88)
     """
+    prec = jax.lax.Precision.HIGHEST
     if values.ndim == 3:
-        return jnp.einsum("bpn,bnc->bpc", affinity, values.astype(affinity.dtype))
-    return jnp.einsum("bpn,bonc->bopc", affinity, values.astype(affinity.dtype))
+        return jnp.einsum("bpn,bnc->bpc", affinity, values.astype(affinity.dtype),
+                          precision=prec)
+    return jnp.einsum("bpn,bonc->bopc", affinity, values.astype(affinity.dtype),
+                      precision=prec)

@@ -1,0 +1,42 @@
+import os
+
+# Tests run on CPU with a virtual 8-device mesh (the JAX-native way to test
+# multi-chip sharding without a cluster — SURVEY.md §4).
+# force CPU: the harness exports JAX_PLATFORMS=axon (remote TPU tunnel), which
+# would make every tiny test op a network round-trip. Set CUTIE_TPU_TEST_TPU=1
+# to run the suite on the real device.
+if os.environ.get("CUTIE_TPU_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import pathlib
+
+import pytest
+
+# persistent compilation cache: per-primitive eager compiles cost ~0.4s in this
+# environment, so cache everything aggressively across test runs
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/cutie_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# default matmul/conv precision rounds operands to bf16 (both on TPU MXU and
+# XLA:CPU) — parity tests need true fp32 math
+jax.config.update("jax_default_matmul_precision", "highest")
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    return GOLDEN_DIR
+
+
+def require_golden(name: str):
+    path = GOLDEN_DIR / name
+    if not path.exists():
+        pytest.skip(f"golden fixture {name} not generated (run tools/gen_golden.py)")
+    return path

@@ -1,0 +1,81 @@
+"""Parity of the memory attention math (similarity / top-k softmax / readout)
+against the reference memory_utils fixtures, plus masked-validity behavior
+that has no reference equivalent (fixed-shape buffers)."""
+import numpy as np
+
+from tests.conftest import require_golden
+
+
+def test_similarity_topk_readout_parity():
+    from cutie_tpu.ops.memory import get_similarity, readout, topk_softmax
+
+    rec = dict(np.load(require_golden("memory_math.npz")))
+    # reference layout: mk [B,CK,N], qk/qe [B,CK,P], sim/aff [B,N,P], mv [B,CV,T,H,W]
+    mk = np.transpose(rec["mk"], (0, 2, 1))
+    ms = rec["ms"][:, 0, :]
+    qk = np.transpose(rec["qk"], (0, 2, 1))
+    qe = np.transpose(rec["qe"], (0, 2, 1))
+
+    sim = get_similarity(mk, ms, qk, qe)  # [B,P,N]
+    # fp32 reduction-order noise is amplified by the -a^2+2ab-b^2 cancellation
+    np.testing.assert_allclose(np.asarray(sim), np.transpose(rec["sim"], (0, 2, 1)),
+                               rtol=5e-3, atol=5e-2)
+
+    aff, usage = topk_softmax(sim, top_k=30, return_usage=True)
+    # entries at the top-k rank boundary can swap under fp32 noise in sim;
+    # those carry ~1e-2 affinity mass at most
+    np.testing.assert_allclose(np.asarray(aff), np.transpose(rec["aff"], (0, 2, 1)),
+                               rtol=5e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(usage), rec["usage"], rtol=5e-3, atol=3e-2)
+
+    b, cv, t, h, w = rec["mv"].shape
+    mv = np.transpose(rec["mv"].reshape(b, cv, t * h * w), (0, 2, 1))
+    rd = readout(aff, mv)  # [B,P,CV]
+    rd_ref = rec["rd"].reshape(b, cv, h * w)
+    # rank-30 boundary swaps (see above) carry ~1e-2 affinity mass against
+    # O(1) value magnitudes -> up to ~5e-2 absolute readout differences
+    np.testing.assert_allclose(np.asarray(rd), np.transpose(rd_ref, (0, 2, 1)),
+                               rtol=5e-3, atol=6e-2)
+
+
+def test_validity_mask_equals_sliced():
+    """A padded buffer with a validity mask must give the same affinity as
+    computing only on the valid tokens."""
+    from cutie_tpu.ops.memory import get_similarity, topk_softmax
+
+    rng = np.random.default_rng(0)
+    n_valid, n_total, p, ck = 50, 128, 16, 64
+    mk = rng.normal(size=(1, n_total, ck)).astype(np.float32)
+    ms = (rng.uniform(1, 3, size=(1, n_total))).astype(np.float32)
+    qk = rng.normal(size=(1, p, ck)).astype(np.float32)
+    qe = rng.uniform(size=(1, p, ck)).astype(np.float32)
+    valid = np.zeros((1, n_total), bool)
+    valid[:, :n_valid] = True
+
+    sim_full = get_similarity(mk, ms, qk, qe, valid=np.asarray(valid))
+    aff_full, usage_full = topk_softmax(sim_full, 30, return_usage=True)
+
+    sim_sl = get_similarity(mk[:, :n_valid], ms[:, :n_valid], qk, qe)
+    aff_sl, usage_sl = topk_softmax(sim_sl, 30, return_usage=True)
+
+    np.testing.assert_allclose(np.asarray(aff_full)[:, :, :n_valid],
+                               np.asarray(aff_sl), rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(aff_full)[:, :, n_valid:]).max() == 0
+    np.testing.assert_allclose(np.asarray(usage_full)[:, :n_valid],
+                               np.asarray(usage_sl), rtol=1e-5, atol=1e-6)
+
+
+def test_fewer_valid_than_topk():
+    """When fewer valid tokens than k exist, affinity must still normalize to 1."""
+    from cutie_tpu.ops.memory import get_similarity, topk_softmax
+
+    rng = np.random.default_rng(1)
+    mk = rng.normal(size=(1, 64, 16)).astype(np.float32)
+    ms = np.ones((1, 64), np.float32)
+    qk = rng.normal(size=(1, 8, 16)).astype(np.float32)
+    valid = np.zeros((1, 64), bool)
+    valid[:, :5] = True
+    sim = get_similarity(mk, ms, qk, None, valid=np.asarray(valid))
+    aff, _ = topk_softmax(sim, 30)
+    np.testing.assert_allclose(np.asarray(aff).sum(-1), 1.0, rtol=1e-5)
+    assert np.abs(np.asarray(aff)[:, :, 5:]).max() == 0

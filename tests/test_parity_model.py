@@ -1,0 +1,159 @@
+"""Numerical parity of the model stack against recorded reference activations.
+
+Fixtures are produced by tools/gen_golden.py from the reference torch
+implementation (random weights, randomized frozen-BN stats, tiny inputs).
+"""
+import numpy as np
+import pytest
+
+from tests.conftest import require_golden
+
+RTOL = 2e-3
+ATOL = 2e-4
+
+_jit_cache = {}
+
+
+def jit_apply(model, method, static=()):
+    """Jitted model.apply for a stage method (compile once per method)."""
+    import functools
+    import jax
+    key = (id(model), method, static)
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(
+            functools.partial(model.apply, method=method), static_argnames=static)
+    return _jit_cache[key]
+
+
+def to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def group_to_nhwc(x):
+    # [B,N,C,H,W] -> [B,N,H,W,C]
+    return np.transpose(x, (0, 1, 3, 4, 2))
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    import jax
+
+    from cutie_tpu.config import eval_config
+    from cutie_tpu.models import CUTIE
+    from cutie_tpu.utils.weight_import import convert_torch_state_dict
+
+    sd_path = require_golden("state_dict_small.npz")
+    stages_path = require_golden("stages_small.npz")
+    sd = dict(np.load(sd_path))
+    rec = dict(np.load(stages_path))
+
+    cfg = eval_config("small")
+    model = CUTIE(cfg)
+    image = to_nhwc(rec["image"])
+    masks = rec["masks"]
+    # shape-only init: no compute, just the param tree structure
+    var_shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), image, masks)
+    import jax.numpy as jnp
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(var_shapes))
+    variables = convert_torch_state_dict(sd, zeros, strict=True)
+    return model, variables, rec
+
+
+def test_weight_import_strict(small_setup):
+    # strict=True in the fixture already asserts full coverage
+    model, variables, rec = small_setup
+    assert "params" in variables and "batch_stats" in variables
+
+
+def test_encode_image(small_setup):
+    model, variables, rec = small_setup
+    ms_feat, pix_feat = jit_apply(model, "encode_image")(variables, to_nhwc(rec["image"]))
+    np.testing.assert_allclose(np.asarray(ms_feat[0]), to_nhwc(rec["f16"]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(ms_feat[1]), to_nhwc(rec["f8"]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(ms_feat[2]), to_nhwc(rec["f4"]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(pix_feat), to_nhwc(rec["pix_feat"]),
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_transform_key(small_setup):
+    model, variables, rec = small_setup
+    key, shrinkage, selection = jit_apply(model, "transform_key")(variables, to_nhwc(rec["f16"]))
+    np.testing.assert_allclose(np.asarray(key), to_nhwc(rec["key"]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(shrinkage), to_nhwc(rec["shrinkage"]),
+                               rtol=RTOL, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(selection), to_nhwc(rec["selection"]),
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_encode_mask(small_setup):
+    model, variables, rec = small_setup
+    msk_value, new_sensory, obj_summaries, _ = jit_apply(
+        model, "encode_mask", static=("deep_update",))(
+        variables, to_nhwc(rec["image"]), to_nhwc(rec["pix_feat"]),
+        group_to_nhwc(rec["sensory"]), rec["masks"], deep_update=True)
+    np.testing.assert_allclose(np.asarray(msk_value), group_to_nhwc(rec["msk_value"]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(new_sensory),
+                               group_to_nhwc(rec["new_sensory"]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(obj_summaries), rec["obj_summaries"],
+                               rtol=RTOL, atol=2e-3)
+
+
+def test_pixel_fusion(small_setup):
+    model, variables, rec = small_setup
+    fused = jit_apply(model, "pixel_fusion")(
+        variables, to_nhwc(rec["pix_feat"]), group_to_nhwc(rec["pixel_readout_in"]),
+        group_to_nhwc(rec["sensory"]), rec["masks"])
+    np.testing.assert_allclose(np.asarray(fused), group_to_nhwc(rec["fused"]),
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_readout_query(small_setup):
+    model, variables, rec = small_setup
+    obj_mem = rec["obj_summaries"][:, :, None]  # add T=1
+    mem_readout, aux = jit_apply(model, "readout_query")(
+        variables, group_to_nhwc(rec["fused"]), obj_mem)
+    np.testing.assert_allclose(np.asarray(mem_readout),
+                               group_to_nhwc(rec["mem_readout"]),
+                               rtol=RTOL, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(aux["logits"]), rec["qt_logits"],
+                               rtol=RTOL, atol=2e-3)
+
+
+def test_segment(small_setup):
+    model, variables, rec = small_setup
+    ms_feat = (to_nhwc(rec["f16"]), to_nhwc(rec["f8"]), to_nhwc(rec["f4"]))
+    sensory, logits, prob = jit_apply(model, "segment")(
+        variables, ms_feat, group_to_nhwc(rec["mem_readout"]),
+        group_to_nhwc(rec["sensory"]))
+    np.testing.assert_allclose(np.asarray(sensory), group_to_nhwc(rec["seg_sensory"]),
+                               rtol=RTOL, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(logits), rec["seg_logits"],
+                               rtol=RTOL, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(prob), rec["seg_prob"],
+                               rtol=RTOL, atol=1e-3)
+
+
+def test_read_memory_train_path(small_setup):
+    model, variables, rec = small_setup
+    mem_key = np.transpose(rec["mem_key_t"], (0, 2, 3, 4, 1))    # B,T,h,w,CK
+    mem_shr = np.transpose(rec["mem_shr_t"], (0, 2, 3, 4, 1))    # B,T,h,w,1
+    mem_val = np.transpose(rec["mem_val_t"], (0, 1, 3, 4, 5, 2))  # B,N,T,h,w,CV
+    selector = np.ones(rec["masks"].shape[:2], np.float32)
+    readout_t, aux_t = jit_apply(model, "read_memory")(
+        variables, to_nhwc(rec["key"]), to_nhwc(rec["selection"]), mem_key, mem_shr,
+        mem_val, rec["obj_memory_t"], to_nhwc(rec["pix_feat"]),
+        group_to_nhwc(rec["sensory"]), rec["masks"], selector)
+    np.testing.assert_allclose(np.asarray(readout_t), group_to_nhwc(rec["readout_t"]),
+                               rtol=RTOL, atol=2e-3)
+    aux_out = jit_apply(model, "compute_aux")(
+        variables, to_nhwc(rec["pix_feat"]), aux_t, selector)
+    np.testing.assert_allclose(np.asarray(aux_out["sensory_logits"]),
+                               rec["aux_sensory_logits"], rtol=RTOL, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(aux_out["q_logits"]),
+                               rec["aux_q_logits"], rtol=RTOL, atol=2e-3)

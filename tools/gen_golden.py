@@ -1,0 +1,197 @@
+"""Generate golden parity fixtures from the reference torch implementation.
+
+Runs the reference model (mounted read-only at /root/reference) on tiny random
+inputs with randomized weights, and records (state_dict, inputs, stage outputs)
+into tests/golden/*.npz. The committed fixtures let the test suite assert
+numerical parity without needing /root/reference or torch at test time.
+
+Usage: python tools/gen_golden.py [--variant small|base]
+"""
+import argparse
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path("/root/reference")
+
+
+def _install_omegaconf_stub():
+    """The reference imports omegaconf only for type hints + cfg access."""
+    class AttrDict(dict):
+        def __getattr__(self, k):
+            try:
+                v = self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+            return AttrDict(v) if isinstance(v, dict) and not isinstance(v, AttrDict) else v
+
+        def get(self, k, default=None):
+            v = dict.get(self, k, default)
+            return AttrDict(v) if isinstance(v, dict) and not isinstance(v, AttrDict) else v
+
+    stub = types.ModuleType("omegaconf")
+    stub.DictConfig = AttrDict
+    stub.AttrDict = AttrDict
+    sys.modules["omegaconf"] = stub
+    return AttrDict
+
+
+def build_reference_model(variant: str, seed: int = 1234):
+    AttrDict = _install_omegaconf_stub()
+    sys.path.insert(0, str(REFERENCE))
+
+    import torch
+    torch.manual_seed(seed)
+
+    # block torchvision-zoo downloads: random-init the resnets
+    from cutie.model.utils import resnet as ref_resnet
+    ref_resnet.load_weights_add_extra_dim = lambda *a, **k: None
+    ref_resnet.model_zoo.load_url = lambda *a, **k: {}
+
+    from cutie.model.cutie import CUTIE as RefCUTIE
+
+    model_cfg = {
+        "pixel_mean": [0.485, 0.456, 0.406],
+        "pixel_std": [0.229, 0.224, 0.225],
+        "pixel_dim": 256, "key_dim": 64, "value_dim": 256, "sensory_dim": 256,
+        "embed_dim": 256,
+        "pixel_encoder": {"type": "resnet18" if variant == "small" else "resnet50",
+                          "ms_dims": [256, 128, 64] if variant == "small"
+                          else [1024, 512, 256]},
+        "mask_encoder": {"type": "resnet18", "final_dim": 256},
+        "pixel_pe_scale": 32, "pixel_pe_temperature": 128,
+        "object_transformer": {
+            "embed_dim": 256, "ff_dim": 2048, "num_heads": 8, "num_blocks": 3,
+            "num_queries": 16,
+            "read_from_pixel": {"input_norm": False, "input_add_pe": False,
+                                "add_pe_to_qkv": [True, True, False]},
+            "read_from_past": {"add_pe_to_qkv": [True, True, False]},
+            "read_from_memory": {"add_pe_to_qkv": [True, True, False]},
+            "read_from_query": {"add_pe_to_qkv": [True, True, False],
+                                "output_norm": False},
+            "query_self_attention": {"add_pe_to_qkv": [True, True, False]},
+            "pixel_self_attention": {"add_pe_to_qkv": [True, True, False]},
+        },
+        "object_summarizer": {"embed_dim": 256, "num_summaries": 16, "add_pe": True},
+        "aux_loss": {"sensory": {"enabled": True, "weight": 0.01},
+                     "query": {"enabled": True, "weight": 0.01}},
+        "mask_decoder": {"up_dims": [256, 128, 128]},
+    }
+    cfg = AttrDict({"model": model_cfg})
+    model = RefCUTIE(cfg)
+    model.eval()
+
+    # randomize BN running stats so frozen-BN parity is actually tested
+    g = torch.Generator().manual_seed(seed + 1)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean = torch.randn(m.running_mean.shape, generator=g) * 0.05
+            m.running_var = 0.5 + torch.rand(m.running_var.shape, generator=g)
+    return model, cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="small", choices=["small", "base"])
+    ap.add_argument("--size", type=int, default=64)
+    args = ap.parse_args()
+
+    import torch
+
+    model, _ = build_reference_model(args.variant)
+    out_dir = REPO / "tests" / "golden"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    torch.manual_seed(7)
+    B, N, H, W = 1, 2, args.size, args.size
+    h, w = H // 16, W // 16
+    E, CV, CS, CK, Q = 256, 256, 256, 64, 16
+
+    image = torch.rand(B, 3, H, W)
+    masks_soft = torch.rand(B, N, H, W)
+    masks_soft = masks_soft / masks_soft.sum(1, keepdim=True).clamp(min=1.0)
+    sensory = torch.randn(B, N, CS, h, w) * 0.1
+
+    rec = {}
+    with torch.no_grad():
+        ms_feat, pix_feat = model.encode_image(image)
+        key, shrinkage, selection = model.transform_key(ms_feat[0])
+        msk_value, new_sensory, obj_summaries, _ = model.encode_mask(
+            image, pix_feat, sensory, masks_soft, deep_update=True)
+        pixel_readout_in = torch.randn(B, N, CV, h, w) * 0.1
+        fused = model.pixel_fusion(pix_feat, pixel_readout_in, sensory, masks_soft)
+        obj_mem = obj_summaries.unsqueeze(2)
+        mem_readout, aux_features = model.readout_query(fused, obj_mem)
+        seg_sensory, seg_logits, seg_prob = model.segment(ms_feat, mem_readout, sensory)
+
+        # training read path: T=2 memory frames
+        T = 2
+        mem_key = torch.randn(B, CK, T, h, w)
+        mem_shr = (torch.randn(B, 1, T, h, w)) ** 2 + 1
+        mem_val = torch.randn(B, N, CV, T, h, w) * 0.1
+        obj_memory_t = torch.randn(B, N, T, Q, E + 1).abs()
+        selector = torch.ones(B, N, 1, 1)
+        model.train()  # read_memory asserts nothing but aux needs training branches
+        readout_t, aux_t = model.read_memory(
+            key, selection, mem_key, mem_shr, mem_val, obj_memory_t, pix_feat,
+            sensory, masks_soft, selector)
+        aux_out = model.compute_aux(pix_feat, aux_t, selector)
+        model.eval()
+
+    rec["image"] = image.numpy()
+    rec["masks"] = masks_soft.numpy()
+    rec["sensory"] = sensory.numpy()
+    rec["f16"], rec["f8"], rec["f4"] = [f.numpy() for f in ms_feat]
+    rec["pix_feat"] = pix_feat.numpy()
+    rec["key"] = key.numpy()
+    rec["shrinkage"] = shrinkage.numpy()
+    rec["selection"] = selection.numpy()
+    rec["msk_value"] = msk_value.numpy()
+    rec["new_sensory"] = new_sensory.numpy()
+    rec["obj_summaries"] = obj_summaries.numpy()
+    rec["pixel_readout_in"] = pixel_readout_in.numpy()
+    rec["fused"] = fused.numpy()
+    rec["mem_readout"] = mem_readout.numpy()
+    rec["qt_logits"] = torch.stack(aux_features["logits"], dim=2).numpy()
+    rec["seg_sensory"] = seg_sensory.numpy()
+    rec["seg_logits"] = seg_logits.numpy()
+    rec["seg_prob"] = seg_prob.numpy()
+    rec["mem_key_t"] = mem_key.numpy()
+    rec["mem_shr_t"] = mem_shr.numpy()
+    rec["mem_val_t"] = mem_val.numpy()
+    rec["obj_memory_t"] = obj_memory_t.numpy()
+    rec["readout_t"] = readout_t.numpy()
+    rec["aux_sensory_logits"] = aux_out["sensory_logits"].numpy()
+    rec["aux_q_logits"] = aux_out["q_logits"].numpy()
+
+    np.savez_compressed(out_dir / f"stages_{args.variant}.npz", **rec)
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(out_dir / f"state_dict_{args.variant}.npz", **sd)
+
+    # standalone memory-math fixture (memory_utils parity incl. top-k)
+    from cutie.model.utils.memory_utils import do_softmax, get_similarity, readout
+    torch.manual_seed(11)
+    Nmem, P = 300, 100  # memory tokens = T(3) x 10 x 10; queries = 10 x 10
+    mk = torch.randn(1, CK, Nmem)
+    ms = torch.rand(1, 1, Nmem) * 2 + 1
+    qk = torch.randn(1, CK, P)
+    qe = torch.rand(1, CK, P)
+    sim = get_similarity(mk, ms, qk, qe)
+    aff, usage = do_softmax(sim.clone(), top_k=30, inplace=False, return_usage=True)
+    mv = torch.randn(1, CV, 3, 10, 10)  # N = 300 tokens as T*H*W
+    rd = readout(aff, mv)
+    np.savez_compressed(
+        out_dir / "memory_math.npz",
+        mk=mk.numpy(), ms=ms.numpy(), qk=qk.numpy(), qe=qe.numpy(),
+        sim=sim.numpy(), aff=aff.numpy(), usage=usage.numpy(),
+        mv=mv.numpy(), rd=rd.numpy())
+
+    print(f"Wrote fixtures for {args.variant} to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
