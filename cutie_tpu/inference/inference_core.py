@@ -1,0 +1,385 @@
+"""Streaming per-frame inference engine — the public API shell.
+
+Behavioral parity target: reference cutie/inference/inference_core.py:18-345
+(step / output_prob_to_mask / delete_objects / clear_* / update_config, with
+mem_every cadence, staggered sensory updates, partial-mask merging,
+force_permanent commits, max_internal_size resizing).
+
+TPU redesign: the shell holds only host bookkeeping (object ids, cadence
+counters, host mirrors of the device memory counters) and dispatches
+jit-compiled pure step functions over a fixed-shape MemoryState. All cadence
+decisions are host-deterministic, so each compiled graph is branch-free.
+
+Inputs follow the reference convention: image is CHW float in [0,1]
+(numpy or jax array); masks are HW index masks or [num_objects, H, W]
+channel masks. Output is a (num_objects+1, H, W) probability array.
+"""
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cutie_tpu.inference.object_manager import ObjectManager
+from cutie_tpu.inference.state import MemoryState, grow_perm, init_state, pad_objects
+from cutie_tpu.inference.steps import StepFunctions
+from cutie_tpu.ops.resize import bilinear_resize, nearest_exact_resize_np
+from cutie_tpu.ops.tensor_utils import compute_pad
+
+log = logging.getLogger(__name__)
+
+_OBJ_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _obj_capacity(n: int) -> int:
+    for b in _OBJ_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def _aggregate_np(prob: np.ndarray) -> np.ndarray:
+    """Soft-aggregation + softmax on host (tensor_utils.py:47-54 + softmax)."""
+    prob = prob.astype(np.float32)
+    bg = np.prod(1 - prob, axis=0, keepdims=True)
+    new_prob = np.clip(np.concatenate([bg, prob], axis=0), 1e-7, 1 - 1e-7)
+    logits = np.log(new_prob / (1 - new_prob))
+    logits -= logits.max(axis=0, keepdims=True)
+    e = np.exp(logits)
+    return e / e.sum(axis=0, keepdims=True)
+
+
+class InferenceCore:
+
+    def __init__(self, network, cfg):
+        """network: ModelBundle (model + variables); cfg: eval-style Config."""
+        self.model = network.model
+        self.variables = network.variables
+        self.cfg = cfg
+        self.mem_every = cfg.mem_every
+        stagger_updates = cfg.stagger_updates
+        self.save_aux = cfg.save_aux
+        self.max_internal_size = cfg.max_internal_size
+        self.flip_aug = cfg.flip_aug
+        if self.flip_aug:
+            raise NotImplementedError("flip_aug lands with the batch=2 step variant")
+        self.use_long_term = bool(cfg.use_long_term)
+
+        self.curr_ti = -1
+        self.last_mem_ti = 0
+        if stagger_updates >= self.mem_every:
+            self.stagger_ti = set(range(1, self.mem_every + 1))
+        else:
+            self.stagger_ti = set(
+                np.round(np.linspace(1, self.mem_every, stagger_updates)).astype(int))
+        self.object_manager = ObjectManager()
+        self.steps = StepFunctions(self.model, cfg)
+
+        # memory budgets (memory_manager.py:29-38: -1 because the first frame
+        # becomes permanent memory)
+        if self.use_long_term:
+            self.max_mem_frames = cfg.long_term.max_mem_frames - 1
+            self.min_mem_frames = cfg.long_term.min_mem_frames - 1
+            self.num_prototypes = cfg.long_term.num_prototypes
+            self.max_long_tokens = cfg.long_term.max_num_tokens
+            self.buffer_tokens = cfg.long_term.buffer_tokens
+            # +1 slack slot: consolidation runs after the ring holds
+            # max_mem_frames frames, so it must never overwrite
+            self.ring_frames = self.max_mem_frames + 1
+            self.lt_capacity = self.max_long_tokens + self.num_prototypes
+        else:
+            self.max_mem_frames = cfg.max_mem_frames - 1
+            self.ring_frames = max(self.max_mem_frames, 1)
+            self.lt_capacity = 8  # dummy tiny buffer (never valid)
+
+        self.state: Optional[MemoryState] = None
+        self.last_mask_shape = None
+        self.pad = None
+        # host mirrors of device counters (deterministic)
+        self._perm_n = 0
+        self._work_count = 0
+        self._lt_count = 0
+
+    # ------------------------------------------------------------------ admin
+
+    @property
+    def engaged(self) -> bool:
+        return self._perm_n > 0 or self._work_count > 0
+
+    def clear_memory(self):
+        self.curr_ti = -1
+        self.last_mem_ti = 0
+        self.state = None
+        self._perm_n = self._work_count = self._lt_count = 0
+
+    def clear_non_permanent_memory(self):
+        self.curr_ti = -1
+        self.last_mem_ti = 0
+        if self.state is not None:
+            self.state = self.state.replace(
+                work_start=jnp.zeros((), jnp.int32),
+                work_count=jnp.zeros((), jnp.int32),
+                lt_count=jnp.zeros((), jnp.int32),
+                work_obj_valid=jnp.zeros_like(self.state.work_obj_valid),
+                lt_obj_valid=jnp.zeros_like(self.state.lt_obj_valid),
+                work_use=jnp.zeros_like(self.state.work_use),
+                work_life=jnp.zeros_like(self.state.work_life),
+                lt_use=jnp.zeros_like(self.state.lt_use),
+                lt_life=jnp.zeros_like(self.state.lt_life),
+            )
+        self._work_count = self._lt_count = 0
+
+    def clear_sensory_memory(self):
+        self.curr_ti = -1
+        self.last_mem_ti = 0
+        if self.state is not None:
+            self.state = self.state.replace(sensory=jnp.zeros_like(self.state.sensory))
+
+    def update_config(self, cfg) -> None:
+        self.mem_every = cfg["mem_every"]
+        self.steps.top_k = cfg["top_k"]
+        assert self.use_long_term == bool(cfg["use_long_term"]), "cannot update this"
+        if self.use_long_term:
+            self.max_mem_frames = cfg["long_term"]["max_mem_frames"] - 1
+            self.min_mem_frames = cfg["long_term"]["min_mem_frames"] - 1
+            self.max_long_tokens = cfg["long_term"]["max_num_tokens"]
+            self.buffer_tokens = cfg["long_term"]["buffer_tokens"]
+        else:
+            self.max_mem_frames = cfg["max_mem_frames"] - 1
+
+    # -------------------------------------------------------------- internals
+
+    def _selector(self) -> np.ndarray:
+        o = self.state.sensory.shape[1]
+        sel = np.zeros((o,), np.float32)
+        sel[:self.object_manager.num_obj] = 1.0
+        return sel
+
+    def _ensure_state(self, h16: int, w16: int, num_obj: int):
+        """Allocate or grow the device state for (resolution, object count)."""
+        mc = self.cfg.model
+        cap = _obj_capacity(num_obj)
+        if self.state is None:
+            self.state = init_state(
+                batch=1, max_objects=cap, h=h16, w=w16,
+                sensory_dim=mc.sensory_dim, key_dim=mc.key_dim,
+                value_dim=mc.value_dim,
+                num_queries=mc.object_transformer.num_queries,
+                embed_dim=mc.object_transformer.embed_dim,
+                perm_frames=max(self.cfg.get("perm_frame_capacity", 1), 1),
+                work_frames=self.ring_frames,
+                lt_capacity=self.lt_capacity,
+            )
+        elif self.state.sensory.shape[1] < cap:
+            self.state = pad_objects(self.state, cap)
+
+    def _merge_input_mask(self, mask, objects, idx_mask: bool,
+                          pred_prob_with_bg: Optional[np.ndarray],
+                          h_pad: int, w_pad: int) -> np.ndarray:
+        """Combine a (possibly partial) user mask with the prediction using
+        mutual exclusivity (inference_core.py:258-300). Host-side numpy.
+        Returns padded-slot last_mask [O, Hp, Wp]."""
+        tmp_ids, _ = self.object_manager.add_new_objects(list(objects))
+        self._ensure_state(h_pad // 16, w_pad // 16, self.object_manager.num_obj)
+        o = self.state.sensory.shape[1]
+
+        mask = np.asarray(mask)
+        lw, uw, lh, uh = self.pad
+        if idx_mask:
+            mask_p = np.zeros((h_pad, w_pad), mask.dtype)
+            mask_p[lh:h_pad - uh, lw:w_pad - uw] = mask
+        else:
+            mask_p = np.zeros((mask.shape[0], h_pad, w_pad), np.float32)
+            mask_p[:, lh:h_pad - uh, lw:w_pad - uw] = mask
+
+        out = np.zeros((o, h_pad, w_pad), np.float32)
+        if pred_prob_with_bg is not None:
+            pred_no_bg = np.asarray(pred_prob_with_bg[1:o + 1], np.float32).copy()
+            if idx_mask:
+                pred_no_bg[:, mask_p > 0] = 0
+            else:
+                pred_no_bg[:, mask_p.max(0) > 0.5] = 0
+            out[:pred_no_bg.shape[0]] = pred_no_bg
+            for mask_id, tmp_id in enumerate(tmp_ids):
+                if idx_mask:
+                    this_mask = (mask_p == objects[mask_id]).astype(np.float32)
+                else:
+                    this_mask = mask_p[mask_id]
+                out[tmp_id - 1] = this_mask
+        else:
+            for mask_id, tmp_id in enumerate(tmp_ids):
+                if idx_mask:
+                    out[tmp_id - 1] = (mask_p == objects[mask_id]).astype(np.float32)
+                else:
+                    out[tmp_id - 1] = mask_p[mask_id]
+        return out
+
+    def _maybe_consolidate(self):
+        if not self.use_long_term:
+            return
+        if self._work_count >= self.max_mem_frames:
+            lt_keep = None
+            if self._lt_count >= self.max_long_tokens - self.num_prototypes:
+                lt_keep = (self.max_long_tokens - self.num_prototypes
+                           - self.buffer_tokens)
+                self._lt_count = lt_keep
+            n_cand = self._work_count - self.min_mem_frames
+            self.state = self.steps.consolidate(
+                self.variables, self.state,
+                n_candidate_frames=int(n_cand), lt_keep=lt_keep)
+            self._work_count -= n_cand
+            self._lt_count += self.num_prototypes
+
+    # ------------------------------------------------------------------- step
+
+    def step(self, image, mask=None, objects: Optional[List[int]] = None, *,
+             idx_mask: bool = True, end: bool = False,
+             delete_buffer: bool = True, force_permanent: bool = False):
+        """See reference inference_core.py:172-201 for full semantics."""
+        if objects is None and mask is not None:
+            assert not idx_mask
+            objects = list(range(1, mask.shape[0] + 1))
+
+        image = np.asarray(image, np.float32)  # [3, H, W] in [0, 1]
+        resize_needed = False
+        orig_h, orig_w = image.shape[-2:]
+        if self.max_internal_size > 0:
+            min_side = min(orig_h, orig_w)
+            if min_side > self.max_internal_size:
+                resize_needed = True
+                new_h = int(orig_h / min_side * self.max_internal_size)
+                new_w = int(orig_w / min_side * self.max_internal_size)
+                img_hwc = np.transpose(image, (1, 2, 0))
+                image = np.transpose(
+                    np.asarray(bilinear_resize(jnp.asarray(img_hwc), new_h, new_w)),
+                    (2, 0, 1))
+                if mask is not None:
+                    if idx_mask:
+                        mask = nearest_exact_resize_np(np.asarray(mask), new_h, new_w)
+                    else:
+                        m = np.transpose(np.asarray(mask, np.float32), (1, 2, 0))
+                        mask = np.transpose(
+                            np.asarray(bilinear_resize(jnp.asarray(m), new_h, new_w)),
+                            (2, 0, 1))
+
+        self.curr_ti += 1
+
+        h, w = image.shape[-2:]
+        self.pad = compute_pad(h, w, 16)
+        lw, uw, lh, uh = self.pad
+        h_pad, w_pad = h + lh + uh, w + lw + uw
+
+        image_nhwc = np.zeros((1, h_pad, w_pad, 3), np.float32)
+        image_nhwc[0, lh:h_pad - uh, lw:w_pad - uw] = np.transpose(image, (1, 2, 0))
+        image_d = jnp.asarray(image_nhwc)
+
+        is_mem_frame = ((self.curr_ti - self.last_mem_ti >= self.mem_every)
+                        or (mask is not None)) and (not end)
+        need_segment = (mask is None) or (
+            self.object_manager.num_obj > 0
+            and not self.object_manager.has_all(list(objects)))
+        update_sensory = ((self.curr_ti - self.last_mem_ti)
+                          in self.stagger_ti) and (not end)
+
+        feats = self.steps.encode(self.variables, image_d)
+
+        pred_prob_with_bg = None
+        if need_segment:
+            if not self.engaged:
+                log.warning("Trying to segment without any memory!")
+                return jnp.zeros((1, h, w), jnp.float32)
+            self.state, prob = self.steps.segment(
+                self.variables, self.state, feats,
+                jnp.asarray(self._selector()), jnp.asarray(update_sensory))
+            pred_prob_with_bg = prob[0]  # [O+1, Hp, Wp]
+
+        if mask is not None:
+            if idx_mask and len(objects) == 0:
+                log.warning("Trying to insert an empty mask as memory!")
+                return jnp.zeros((1, h, w), jnp.float32)
+            pred_np = (np.asarray(pred_prob_with_bg)
+                       if pred_prob_with_bg is not None else None)
+            last_mask = self._merge_input_mask(mask, objects, idx_mask, pred_np,
+                                               h_pad, w_pad)
+            prob_with_bg_np = _aggregate_np(last_mask)
+            self.state = self.steps.set_last_mask(
+                self.state, jnp.asarray(prob_with_bg_np[None, 1:]))
+            pred_prob_with_bg = jnp.asarray(prob_with_bg_np)
+
+        if is_mem_frame or force_permanent:
+            as_permanent = force_permanent or (not self.engaged)
+            if as_permanent:
+                hw = (h_pad // 16) * (w_pad // 16)
+                if self._perm_n + hw > self.state.perm_key.shape[1]:
+                    self.state = grow_perm(self.state, self._perm_n + hw)
+                self._perm_n += hw
+            else:
+                self._work_count = min(self._work_count + 1, self.ring_frames)
+            self.state = self.steps.memorize(
+                self.variables, self.state, image_d, feats,
+                jnp.asarray(self._selector()), jnp.asarray(True),
+                as_permanent=as_permanent)
+            self.last_mem_ti = self.curr_ti
+            if not as_permanent:
+                self._maybe_consolidate()
+
+        # unpad + restore original size
+        output_prob = pred_prob_with_bg[:, lh:h_pad - uh, lw:w_pad - uw]
+        # trim padded object slots to the live count
+        output_prob = output_prob[:self.object_manager.num_obj + 1]
+        if resize_needed:
+            out = jnp.moveaxis(output_prob, 0, -1)
+            out = bilinear_resize(out, orig_h, orig_w)
+            output_prob = jnp.moveaxis(out, -1, 0)
+        return output_prob
+
+    # ------------------------------------------------------------- public api
+
+    def delete_objects(self, objects: List[int]) -> None:
+        """Remove objects from bookkeeping + memory (inference_core.py:330-335)."""
+        old_order = {obj.id: tmp for obj, tmp in self.object_manager.obj_to_tmp_id.items()}
+        self.object_manager.delete_objects(objects)
+        if self.state is None:
+            return
+        o = self.state.sensory.shape[1]
+        # new slot s holds the object that now has tmp id s+1
+        idx = []
+        for tmp_id in range(1, self.object_manager.num_obj + 1):
+            obj = self.object_manager.tmp_id_to_obj[tmp_id]
+            idx.append(old_order[obj.id] - 1)
+        keep = len(idx)
+        idx = np.asarray(idx + [0] * (o - keep), np.int32)
+        mask = np.asarray([1.0] * keep + [0.0] * (o - keep), np.float32)
+        self.state = _reorder_objects(self.state, jnp.asarray(idx), jnp.asarray(mask))
+
+    def output_prob_to_mask(self, output_prob) -> np.ndarray:
+        """argmax + tmp-id -> object-id remap (inference_core.py:337-345)."""
+        mask = np.asarray(jnp.argmax(output_prob, axis=0))
+        return self.object_manager.tmp_to_obj_cls(mask)
+
+
+@jax.jit
+def _reorder_objects(state: MemoryState, idx: jnp.ndarray,
+                     keep: jnp.ndarray) -> MemoryState:
+    """Permute/compact the padded object axis after deletions
+    (object_manager.py:56-77 re-sorting + memory purge_except)."""
+    def ob(x, axis):  # object-axis take + zero the dropped slots
+        moved = jnp.take(x, idx, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        return moved * keep.reshape(shape).astype(moved.dtype)
+
+    return state.replace(
+        sensory=ob(state.sensory, 1),
+        obj_v=ob(state.obj_v, 1),
+        perm_value=ob(state.perm_value, 1),
+        perm_obj_valid=ob(state.perm_obj_valid.astype(jnp.float32), 0) > 0.5,
+        work_value=ob(state.work_value, 1),
+        work_obj_valid=ob(state.work_obj_valid.astype(jnp.float32), 0) > 0.5,
+        lt_value=ob(state.lt_value, 1),
+        lt_obj_valid=ob(state.lt_obj_valid.astype(jnp.float32), 0) > 0.5,
+        last_mask=ob(state.last_mask, 1),
+    )

@@ -1,0 +1,321 @@
+"""Jit-compiled per-frame step functions over the fixed-shape MemoryState.
+
+This is the TPU replacement for the reference's stateful
+MemoryManager.read/add_memory + InferenceCore._segment/_add_memory hot path
+(cutie/inference/memory_manager.py:112-296, inference_core.py:71-170):
+all compute + memory mutation is pure functions of (variables, state, frame),
+compiled once per (resolution, object-capacity) bucket. The host shell
+orchestrates WHICH function runs (cadence flags are host-deterministic), so
+no data-dependent control flow is needed inside the graphs.
+
+Memory reads concatenate [permanent | long-term | working] token buffers and
+mask invalid tokens to -inf before the top-k softmax; insertion is
+dynamic_update_slice into ring/append buffers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cutie_tpu.inference.state import MemoryState
+from cutie_tpu.models.cutie import CUTIE
+from cutie_tpu.ops.memory import get_similarity, readout, softmax_affinity, topk_softmax
+
+
+class FrameFeatures(NamedTuple):
+    f16: jnp.ndarray
+    f8: jnp.ndarray
+    f4: jnp.ndarray
+    pix_feat: jnp.ndarray
+    key: jnp.ndarray        # [B, h, w, Ck]
+    shrinkage: jnp.ndarray  # [B, h, w, 1]
+    selection: jnp.ndarray  # [B, h, w, Ck]
+
+
+def _ring_token_validity(state: MemoryState) -> jnp.ndarray:
+    """[F] bool — which work frame slots hold live frames."""
+    f = state.work_key.shape[1]
+    idx = jnp.arange(f, dtype=jnp.int32)
+    # slot i live iff (i - start) mod F < count
+    rel = jnp.mod(idx - state.work_start, f)
+    return rel < state.work_count
+
+
+class StepFunctions:
+    """Builds and caches the jitted step functions for one CUTIE model."""
+
+    def __init__(self, model: CUTIE, cfg):
+        self.model = model
+        self.cfg = cfg
+        self.top_k = cfg.top_k
+        self.use_long_term = bool(cfg.use_long_term)
+
+        self.encode = jax.jit(self._encode)
+        self.segment = jax.jit(self._segment, donate_argnums=(1,))
+        self.memorize = jax.jit(self._memorize, donate_argnums=(1,),
+                                static_argnames=("as_permanent",))
+        self.set_last_mask = jax.jit(self._set_last_mask, donate_argnums=(0,))
+        self.consolidate = jax.jit(self._consolidate, donate_argnums=(1,),
+                                   static_argnames=("n_candidate_frames", "lt_keep"))
+
+    # ------------------------------------------------------------------ encode
+
+    def _encode(self, variables, image: jnp.ndarray) -> FrameFeatures:
+        """image [B, H0, W0, 3] -> all query-side features (one backbone pass;
+        mirrors ImageFeatureStore caching — here a single fused graph)."""
+        apply = functools.partial(self.model.apply, variables)
+        (f16, f8, f4), pix_feat = apply(image, method="encode_image")
+        key, shrinkage, selection = apply(f16, method="transform_key")
+        return FrameFeatures(f16, f8, f4, pix_feat, key, shrinkage, selection)
+
+    # ----------------------------------------------------------------- reading
+
+    def _read_memory(self, variables, state: MemoryState, feats: FrameFeatures,
+                     selector: jnp.ndarray) -> Tuple[jnp.ndarray, MemoryState]:
+        """Top-k attention read over [perm | lt | work] (memory_manager.py:112-208).
+        Returns (pixel memory readout [B, O, h, w, Cv], state with updated usage)."""
+        b, h, w, ck = feats.key.shape
+        o = state.sensory.shape[1]
+        hw = h * w
+        f = state.work_key.shape[1]
+        pcap = state.perm_key.shape[1]
+        lcap = state.lt_key.shape[1]
+        cv = state.work_value.shape[-1]
+
+        qk = feats.key.reshape(b, hw, ck)
+        qe = feats.selection.reshape(b, hw, ck)
+
+        ring_valid = _ring_token_validity(state)                        # [F]
+        work_tok_valid = jnp.repeat(ring_valid, hw)                     # [F*HW]
+        perm_valid = jnp.arange(pcap) < state.perm_n                    # [Pcap]
+        lt_valid = jnp.arange(lcap) < state.lt_count                    # [L]
+
+        mem_key = jnp.concatenate(
+            [state.perm_key, state.lt_key, state.work_key.reshape(b, f * hw, ck)], axis=1)
+        mem_shrink = jnp.concatenate(
+            [state.perm_shrink, state.lt_shrink, state.work_shrink.reshape(b, f * hw)],
+            axis=1)
+        valid = jnp.concatenate([perm_valid, lt_valid, work_tok_valid])[None]  # [1, N]
+
+        sim = get_similarity(mem_key, mem_shrink, qk, qe, valid=valid)
+        affinity, usage = topk_softmax(sim, self.top_k,
+                                       return_usage=self.use_long_term)
+
+        if self.use_long_term:
+            # usage bookkeeping (kv_memory_store.py:151-162)
+            lt_usage = usage[:, pcap:pcap + lcap]
+            work_usage = usage[:, pcap + lcap:].reshape(b, f, hw)
+            state = state.replace(
+                work_use=state.work_use + work_usage,
+                work_life=state.work_life + ring_valid[None, :, None].astype(jnp.float32),
+                lt_use=state.lt_use + lt_usage,
+                lt_life=state.lt_life + lt_valid[None].astype(jnp.float32),
+            )
+
+        mem_value = jnp.concatenate(
+            [state.perm_value, state.lt_value,
+             state.work_value.reshape(b, o, f * hw, cv)], axis=2)  # [B,O,N,Cv]
+        pixel_readout = readout(affinity, mem_value)                # [B,O,HW,Cv]
+        return pixel_readout.reshape(b, o, h, w, cv), state
+
+    def _segment(self, variables, state: MemoryState, feats: FrameFeatures,
+                 selector: jnp.ndarray, update_sensory: jnp.ndarray
+                 ) -> Tuple[MemoryState, jnp.ndarray]:
+        """Full read + object transformer + decode (inference_core.py:123-170).
+
+        selector: [O] 1/0 validity of the padded object slots.
+        update_sensory: traced bool.
+        Returns (state, prob_with_bg [B, O+1, H0, W0])."""
+        apply = functools.partial(self.model.apply, variables)
+        pixel_readout, state = self._read_memory(variables, state, feats, selector)
+
+        fused = apply(feats.pix_feat, pixel_readout, state.sensory, state.last_mask,
+                      method="pixel_fusion")
+        obj_mem = state.obj_v[:, :, None]  # T=1 (streaming average)
+        sel_b = jnp.broadcast_to(selector[None], state.sensory.shape[:2])
+        mem_readout, _aux = apply(fused, obj_mem, selector=sel_b,
+                                  method="readout_query")
+        new_sensory, _logits, prob = apply(
+            (feats.f16, feats.f8, feats.f4), mem_readout, state.sensory,
+            selector=sel_b, update_sensory=update_sensory, method="segment")
+        state = state.replace(sensory=new_sensory,
+                              last_mask=prob[:, 1:].astype(jnp.float32))
+        return state, prob
+
+    # --------------------------------------------------------------- memorize
+
+    def _memorize(self, variables, state: MemoryState, image: jnp.ndarray,
+                  feats: FrameFeatures, selector: jnp.ndarray,
+                  is_deep_update: jnp.ndarray, *, as_permanent: bool
+                  ) -> MemoryState:
+        """Encode state.last_mask into all memory stores
+        (inference_core.py:71-121 + memory_manager.py:210-296, FIFO included;
+        LT consolidation is a separate host-dispatched call)."""
+        b, h, w, ck = feats.key.shape
+        o = state.sensory.shape[1]
+        hw = h * w
+        f = state.work_key.shape[1]
+        cv = state.work_value.shape[-1]
+
+        apply = functools.partial(self.model.apply, variables)
+        msk_value, new_sensory, obj_summaries, _ = apply(
+            image, feats.pix_feat, state.sensory, state.last_mask,
+            deep_update=is_deep_update, method="encode_mask")
+
+        # streaming average accumulate (memory_manager.py:251-271); padded
+        # slots accumulate zeros (their masks are zero -> zero weights)
+        sel = selector[None, :, None, None]
+        state = state.replace(obj_v=state.obj_v + obj_summaries * sel,
+                              sensory=new_sensory)
+
+        key_t = feats.key.reshape(b, hw, ck)
+        shr_t = feats.shrinkage.reshape(b, hw)
+        sel_t = feats.selection.reshape(b, hw, ck)
+        val_t = msk_value.reshape(b, o, hw, cv) * selector[None, :, None, None]
+
+        obj_now = selector.astype(bool)  # [O]
+
+        if as_permanent:
+            start = state.perm_n
+            state = state.replace(
+                perm_key=jax.lax.dynamic_update_slice(state.perm_key, key_t,
+                                                      (0, start, 0)),
+                perm_shrink=jax.lax.dynamic_update_slice(state.perm_shrink, shr_t,
+                                                         (0, start)),
+                perm_value=jax.lax.dynamic_update_slice(state.perm_value, val_t,
+                                                        (0, 0, start, 0)),
+                perm_obj_valid=jax.lax.dynamic_update_slice(
+                    state.perm_obj_valid,
+                    jnp.broadcast_to(obj_now[:, None], (o, hw)), (0, start)),
+                perm_n=state.perm_n + hw,
+            )
+            return state
+
+        # ring insert; overwrites the oldest slot when full (non-LT FIFO,
+        # memory_manager.py:296). In LT mode the host consolidates before the
+        # ring ever wraps.
+        slot = jnp.mod(state.work_start + state.work_count, f)
+        full = state.work_count >= f
+        new_start = jnp.where(full, jnp.mod(state.work_start + 1, f),
+                              state.work_start)
+        new_count = jnp.where(full, state.work_count, state.work_count + 1)
+
+        def upd(buf, val, n_lead=1):
+            # write `val` into frame slot `slot` along axis n_lead
+            val = jnp.expand_dims(val, n_lead).astype(buf.dtype)
+            idx = (0,) * n_lead + (slot,) + (0,) * (buf.ndim - n_lead - 1)
+            return jax.lax.dynamic_update_slice(buf, val, idx)
+
+        state = state.replace(
+            work_key=upd(state.work_key, key_t),
+            work_shrink=upd(state.work_shrink, shr_t),
+            work_sel=upd(state.work_sel, sel_t),
+            work_value=upd(state.work_value, val_t, 2),
+            work_obj_valid=jax.lax.dynamic_update_slice(
+                state.work_obj_valid, obj_now[:, None], (0, slot)),
+            # fresh usage counters for the (re)used slot (kv_memory_store.py:132-134)
+            work_use=upd(state.work_use, jnp.zeros_like(shr_t, jnp.float32)),
+            work_life=upd(state.work_life,
+                          jnp.zeros_like(shr_t, jnp.float32) + 1e-7),
+            work_start=new_start,
+            work_count=new_count,
+        )
+        return state
+
+    def _set_last_mask(self, state: MemoryState, prob_no_bg: jnp.ndarray) -> MemoryState:
+        """Overwrite last_mask (used after user-provided masks merge)."""
+        return state.replace(last_mask=prob_no_bg.astype(jnp.float32))
+
+    # ------------------------------------------------------------ consolidation
+
+    def _consolidate(self, variables, state: MemoryState, *,
+                     n_candidate_frames: int, lt_keep: Optional[int]
+                     ) -> MemoryState:
+        """LT consolidation: compress the oldest n_candidate_frames work frames
+        into num_prototypes tokens ("memory potentiation",
+        memory_manager.py:309-358), optionally after usage-ranked LT eviction
+        (kv_memory_store.py:209-242 — lt_keep tokens survive)."""
+        cfg = self.cfg
+        num_protos = cfg.long_term.num_prototypes
+        b, f, hw, ck = state.work_key.shape
+        o = state.work_value.shape[1]
+        cv = state.work_value.shape[-1]
+        nc = n_candidate_frames * hw
+
+        # gather candidate frames (oldest first)
+        frame_idx = jnp.mod(state.work_start + jnp.arange(n_candidate_frames), f)
+        cand_key = state.work_key[:, frame_idx].reshape(b, nc, ck)
+        cand_shr = state.work_shrink[:, frame_idx].reshape(b, nc)
+        cand_sel = state.work_sel[:, frame_idx].reshape(b, nc, ck)
+        cand_val = state.work_value[:, :, frame_idx].reshape(b, o, nc, cv)
+        cand_use = (state.work_use[:, frame_idx] /
+                    state.work_life[:, frame_idx]).reshape(b, nc)
+
+        # prototype selection: top-usage candidates (memory_manager.py:336-343)
+        _, proto_idx = jax.lax.top_k(cand_use, num_protos)  # [B, P]
+        take = lambda x, i: jnp.take_along_axis(x, i, axis=1)
+        proto_key = take(cand_key, proto_idx[..., None])
+        proto_sel = take(cand_sel, proto_idx[..., None])
+
+        # potentiation: attention of candidates onto prototypes
+        sim = get_similarity(cand_key, cand_shr, proto_key, proto_sel)  # [B,P,Nc]
+        affinity = softmax_affinity(sim)
+        proto_val = readout(affinity, cand_val)          # [B,O,P,Cv]
+        proto_shr = readout(affinity, cand_shr[..., None])[..., 0]  # [B,P]
+
+        # optional LT eviction before appending
+        if lt_keep is not None:
+            lcap = state.lt_key.shape[1]
+            lt_valid = jnp.arange(lcap) < state.lt_count
+            lt_usage = jnp.where(
+                lt_valid[None],
+                state.lt_use / jnp.maximum(state.lt_life, 1e-30), -1.0)
+            _, keep_idx = jax.lax.top_k(lt_usage, lt_keep)  # [B, keep]
+            gather1 = lambda x: jnp.take_along_axis(x, keep_idx, axis=1)
+
+            def scatter_keep(buf, kept):
+                out = jnp.zeros_like(buf)
+                return jax.lax.dynamic_update_slice(
+                    out, kept, (0,) * buf.ndim)
+
+            new_lt_key = scatter_keep(state.lt_key,
+                                      jnp.take_along_axis(state.lt_key,
+                                                          keep_idx[..., None], axis=1))
+            new_lt_shr = scatter_keep(state.lt_shrink, gather1(state.lt_shrink))
+            new_lt_val = scatter_keep(
+                state.lt_value,
+                jnp.take_along_axis(state.lt_value, keep_idx[:, None, :, None], axis=2))
+            new_lt_use = scatter_keep(state.lt_use, gather1(state.lt_use))
+            new_lt_life = jnp.maximum(scatter_keep(state.lt_life, gather1(state.lt_life)),
+                                      1e-7)
+            state = state.replace(lt_key=new_lt_key, lt_shrink=new_lt_shr,
+                                  lt_value=new_lt_val, lt_use=new_lt_use,
+                                  lt_life=new_lt_life,
+                                  lt_count=jnp.asarray(lt_keep, jnp.int32))
+
+        # append prototypes at lt_count
+        start = state.lt_count
+        obj_now = jnp.any(state.work_obj_valid[:, frame_idx], axis=1)  # [O]
+        state = state.replace(
+            lt_key=jax.lax.dynamic_update_slice(state.lt_key, proto_key, (0, start, 0)),
+            lt_shrink=jax.lax.dynamic_update_slice(state.lt_shrink, proto_shr,
+                                                   (0, start)),
+            lt_value=jax.lax.dynamic_update_slice(state.lt_value, proto_val,
+                                                  (0, 0, start, 0)),
+            lt_obj_valid=jax.lax.dynamic_update_slice(
+                state.lt_obj_valid,
+                jnp.broadcast_to(obj_now[:, None], (o, num_protos)), (0, start)),
+            lt_use=jax.lax.dynamic_update_slice(
+                state.lt_use, jnp.zeros((b, num_protos), jnp.float32), (0, start)),
+            lt_life=jax.lax.dynamic_update_slice(
+                state.lt_life, jnp.full((b, num_protos), 1e-7, jnp.float32), (0, start)),
+            lt_count=state.lt_count + num_protos,
+            # drop the consolidated frames from the work ring
+            # (memory_manager.py:317-320 sieve_by_range)
+            work_start=jnp.mod(state.work_start + n_candidate_frames, f),
+            work_count=state.work_count - n_candidate_frames,
+        )
+        return state

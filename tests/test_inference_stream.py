@@ -1,0 +1,88 @@
+"""End-to-end streaming parity: our InferenceCore vs the reference's recorded
+per-frame outputs on a synthetic video (same weights, same cadence).
+
+Covers: first-frame permanent memory, mem_every cadence, staggered sensory
+updates, working-memory FIFO (ring), and long-term consolidation.
+"""
+import numpy as np
+import pytest
+
+from tests.conftest import require_golden
+
+
+def _build_core(use_long_term: bool):
+    from cutie_tpu.config import Config, eval_config
+    from cutie_tpu.inference import InferenceCore
+    from cutie_tpu.models import CUTIE
+    from cutie_tpu.utils.get_default_model import ModelBundle
+    from cutie_tpu.utils.weight_import import convert_torch_state_dict
+    import jax
+    import jax.numpy as jnp
+
+    sd = dict(np.load(require_golden("state_dict_small.npz")))
+    cfg = eval_config("small")
+    cfg.merge({
+        "mem_every": 3, "top_k": 30, "stagger_updates": 5,
+        "use_long_term": use_long_term, "max_mem_frames": 3,
+        "long_term": {"count_usage": True, "max_mem_frames": 4,
+                      "min_mem_frames": 2, "num_prototypes": 32,
+                      "max_num_tokens": 256, "buffer_tokens": 64},
+    })
+    model = CUTIE(cfg)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2, 64, 64)))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+    variables = convert_torch_state_dict(sd, zeros, strict=True)
+    bundle = ModelBundle(model=model, variables=variables, cfg=cfg)
+    return InferenceCore(bundle, cfg)
+
+
+def _run_stream(tag: str, use_long_term: bool):
+    rec = dict(np.load(require_golden(f"stream_small_{tag}.npz")))
+    frames, mask0, ref_probs = rec["frames"], rec["mask0"], rec["probs"]
+    core = _build_core(use_long_term)
+
+    t = frames.shape[0]
+    agree = []
+    prob_err = []
+    for ti in range(t):
+        if ti == 0:
+            prob = core.step(frames[ti], mask0, objects=[1, 2])
+        else:
+            prob = core.step(frames[ti])
+        prob = np.asarray(prob)
+        ref = ref_probs[ti]
+        assert prob.shape == ref.shape, (ti, prob.shape, ref.shape)
+        ours = prob.argmax(0)
+        theirs = ref.argmax(0)
+        agree.append((ours == theirs).mean())
+        prob_err.append(np.abs(prob - ref).max())
+
+    # pixel-level argmax agreement must be near-perfect on every frame
+    assert min(agree) > 0.995, (agree, prob_err)
+    # probabilities should track closely (top-k boundary noise aside)
+    assert np.median(prob_err) < 0.05, prob_err
+    return core
+
+
+def test_stream_working_memory_parity():
+    _run_stream("work", use_long_term=False)
+
+
+def test_stream_long_term_parity():
+    core = _run_stream("lt", use_long_term=True)
+    # LT consolidation must actually have happened
+    assert core._lt_count > 0
+
+
+def test_output_prob_to_mask_roundtrip():
+    rec = dict(np.load(require_golden("stream_small_work.npz")))
+    core = _build_core(False)
+    mask0 = np.where(rec["mask0"] == 1, 5, np.where(rec["mask0"] == 2, 9, 0))
+    prob = core.step(rec["frames"][0], mask0, objects=[5, 9])
+    mask = core.output_prob_to_mask(prob)
+    # ids are remapped back to the caller's (non-contiguous) object ids
+    assert set(np.unique(mask)) <= {0, 5, 9}
+    got = (mask > 0)
+    want = rec["mask0"] > 0
+    assert (got == want).mean() > 0.99

@@ -93,6 +93,60 @@ def build_reference_model(variant: str, seed: int = 1234):
     return model, cfg
 
 
+def synth_frames(t: int, h: int, w: int, seed: int = 3):
+    """Deterministic synthetic video: two moving bright squares on a textured
+    background, plus the frame-0 index mask."""
+    rng = np.random.default_rng(seed)
+    bg = rng.uniform(0.2, 0.5, size=(h, w, 3)).astype(np.float32)
+    frames = []
+    masks0 = np.zeros((h, w), np.int64)
+    sq = h // 4
+    for ti in range(t):
+        f = bg.copy()
+        y1, x1 = h // 8 + ti * 2, w // 8 + ti * 3
+        y2, x2 = h // 2 + ti, w // 2 - ti * 2
+        f[y1:y1 + sq, x1:x1 + sq] = [0.9, 0.2, 0.1]
+        f[y2:y2 + sq, x2:x2 + sq] = [0.1, 0.3, 0.9]
+        frames.append(np.transpose(f, (2, 0, 1)))
+        if ti == 0:
+            masks0[y1:y1 + sq, x1:x1 + sq] = 1
+            masks0[y2:y2 + sq, x2:x2 + sq] = 2
+    return np.stack(frames), masks0
+
+
+def gen_stream(model, out_dir, variant: str, use_long_term: bool, tag: str,
+               t: int = 12, h: int = 96, w: int = 128):
+    """Stream a synthetic video through the reference InferenceCore."""
+    import torch
+    from omegaconf import AttrDict  # our stub
+    from cutie.inference.inference_core import InferenceCore as RefCore
+
+    cfg = AttrDict({
+        "mem_every": 3, "stagger_updates": 5, "chunk_size": -1, "save_aux": False,
+        "max_internal_size": -1, "flip_aug": False, "use_long_term": use_long_term,
+        "top_k": 30, "max_mem_frames": 3,
+        "long_term": {"count_usage": True, "max_mem_frames": 4, "min_mem_frames": 2,
+                      "num_prototypes": 32, "max_num_tokens": 256,
+                      "buffer_tokens": 64},
+        "model": {"sensory_dim": 256},
+    })
+    frames, mask0 = synth_frames(t, h, w)
+    core = RefCore(model, cfg)
+    outs = []
+    with torch.no_grad():
+        for ti in range(t):
+            img = torch.tensor(frames[ti])
+            if ti == 0:
+                prob = core.step(img, torch.tensor(mask0), objects=[1, 2])
+            else:
+                prob = core.step(img)
+            outs.append(prob.numpy())
+    np.savez_compressed(
+        out_dir / f"stream_{variant}_{tag}.npz",
+        frames=frames, mask0=mask0, probs=np.stack(outs))
+    print(f"stream fixture: stream_{variant}_{tag}.npz")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="small", choices=["small", "base"])
@@ -189,6 +243,9 @@ def main():
         mk=mk.numpy(), ms=ms.numpy(), qk=qk.numpy(), qe=qe.numpy(),
         sim=sim.numpy(), aff=aff.numpy(), usage=usage.numpy(),
         mv=mv.numpy(), rd=rd.numpy())
+
+    gen_stream(model, out_dir, args.variant, use_long_term=False, tag="work")
+    gen_stream(model, out_dir, args.variant, use_long_term=True, tag="lt", t=24)
 
     print(f"Wrote fixtures for {args.variant} to {out_dir}")
 
