@@ -1,0 +1,96 @@
+"""Headline benchmark: DAVIS-2017-style 480p streaming FPS on one chip.
+
+Measures InferenceCore.step throughput the same way the reference's
+eval_vos.py does (synchronized per-frame step time, first frame included —
+cutie/eval_vos.py:126-145,165-167), on a synthetic 480x854 3-object video
+with the standard eval cadence (mem_every=5, top_k=30, no long-term memory).
+
+Baseline: ~36 FPS for cutie-base at 480p on a 2080Ti-class GPU (paper
+number recorded in BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cutie_tpu_jax_cache")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+BASELINE_FPS = 36.0
+H, W = 480, 854
+N_FRAMES = 60
+N_OBJECTS = 3
+
+
+def synth_video(t, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    bg = rng.uniform(0.2, 0.6, size=(3, h, w)).astype(np.float32)
+    frames = []
+    mask0 = np.zeros((h, w), np.int64)
+    sq = h // 6
+    pos = [(h // 8, w // 8, 2, 3), (h // 2, w // 2, 1, -2), (h // 4, 3 * w // 4, -1, 1)]
+    for ti in range(t):
+        f = bg.copy()
+        for oi, (y, x, dy, dx) in enumerate(pos):
+            yy, xx = y + ti * dy, x + ti * dx
+            yy = int(np.clip(yy, 0, h - sq - 1))
+            xx = int(np.clip(xx, 0, w - sq - 1))
+            f[:, yy:yy + sq, xx:xx + sq] = np.array(
+                [0.9 - 0.3 * oi, 0.2 + 0.3 * oi, 0.5])[:, None, None]
+            if ti == 0:
+                mask0[yy:yy + sq, xx:xx + sq] = oi + 1
+        frames.append(f)
+    return frames, mask0
+
+
+def run_video(core, frames, mask0, timed: bool):
+    times = []
+    for ti, frame in enumerate(frames):
+        t0 = time.perf_counter()
+        if ti == 0:
+            prob = core.step(frame, mask0, objects=list(range(1, N_OBJECTS + 1)))
+        else:
+            prob = core.step(frame)
+        jax.block_until_ready(prob)
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def main():
+    from cutie_tpu.config import eval_config, get_dataset_cfg
+    from cutie_tpu.inference import InferenceCore
+    from cutie_tpu.utils.get_default_model import build_model
+
+    cfg = eval_config("base")
+    cfg.dataset = "d17-val"
+    get_dataset_cfg(cfg)
+    bundle = build_model(cfg, weights=None)  # random weights: same FLOPs
+
+    frames, mask0 = synth_video(N_FRAMES, H, W)
+
+    # warm-up pass compiles every step variant
+    core = InferenceCore(bundle, cfg)
+    run_video(core, frames[:12], mask0, timed=False)
+
+    # timed pass on a fresh core (reference measures every frame incl. first)
+    core = InferenceCore(bundle, cfg)
+    times = run_video(core, frames, mask0, timed=True)
+    fps = len(times) / sum(times)
+
+    print(json.dumps({
+        "metric": "d17_480p_3obj_fps",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

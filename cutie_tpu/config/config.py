@@ -227,6 +227,10 @@ def get_dataset_cfg(cfg: Config) -> Config:
     """Merge the per-dataset block into the top level, honoring explicit top-level
     overrides (mirrors reference cutie/inference/utils/args_utils.py:7-30)."""
     dataset_name = cfg.dataset
+    if dataset_name not in cfg.datasets:
+        raise KeyError(
+            f"Unknown dataset '{dataset_name}'. Available: "
+            f"{sorted(cfg.datasets.keys())} (or add a custom block to cfg.datasets)")
     data_cfg = Config(cfg.datasets[dataset_name])
     potential_overrides = [
         "image_directory", "mask_directory", "json_directory", "size", "save_all",

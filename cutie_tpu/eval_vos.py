@@ -1,0 +1,152 @@
+"""Benchmark evaluation entry point.
+
+Behavioral parity target: reference cutie/eval_vos.py:23-176. Usage mirrors
+the hydra CLI:
+
+    python -m cutie_tpu.eval_vos dataset=d17-val weights=cutie-base-mega.pth \
+        image_directory=... mask_directory=... size=480
+
+Per-frame timing is synchronized (block_until_ready) like the reference's
+CUDA-event timing; FPS and peak device memory are logged at the end.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from os import path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cutie_tpu_jax_cache")
+
+import jax
+import numpy as np
+
+from cutie_tpu.config import eval_config, get_dataset_cfg
+from cutie_tpu.data.burst import BURSTResultHandler, BURSTTestDataset
+from cutie_tpu.data.prefetch import prefetch_iter
+from cutie_tpu.data.video_reader import VOSTestDataset
+from cutie_tpu.inference import InferenceCore
+from cutie_tpu.utils.get_default_model import build_model
+from cutie_tpu.utils.results import ResultSaver, make_zip
+
+log = logging.getLogger(__name__)
+
+
+def eval_vos(cfg) -> dict:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    run_dir = cfg.output_dir or path.join("output", cfg.exp_id, cfg.dataset)
+    os.makedirs(run_dir, exist_ok=True)
+    log.info("All configuration: %s", cfg.to_dict())
+
+    dataset_name = cfg.dataset
+    data_cfg = get_dataset_cfg(cfg)
+    is_burst = "burst" in dataset_name
+
+    bundle = build_model(cfg, weights=cfg.weights)
+    if not cfg.weights or not path.exists(str(cfg.weights)):
+        log.warning("No model weights loaded. Are you sure about this?")
+
+    image_dir = data_cfg.image_directory
+    json_dir = data_cfg.get("json_directory")
+    size_dir = data_cfg.get("size_directory")
+    if is_burst:
+        meta_dataset = BURSTTestDataset(image_dir, json_dir, size=data_cfg.size,
+                                        skip_frames=data_cfg.skip_frames)
+        burst_handler = BURSTResultHandler(meta_dataset.json)
+    else:
+        meta_dataset = VOSTestDataset(image_dir, data_cfg.mask_directory,
+                                      use_all_masks=data_cfg.use_all_masks,
+                                      req_frames_json=json_dir,
+                                      size=data_cfg.size, size_dir=size_dir,
+                                      subset=data_cfg.get("subset"))
+
+    save_all = data_cfg["save_all"]
+    mask_output_root = path.join(run_dir, "Annotations")
+    score_output_root = path.join(run_dir, "Scores")
+    visualize_output_root = path.join(run_dir, "Visualizations")
+
+    total_process_time = 0.0
+    total_frames = 0
+
+    for vid_reader in meta_dataset.get_datasets():
+        vid_name = vid_reader.vid_name
+        vid_length = len(vid_reader)
+        log.info("Processing %s (%d frames)", vid_name, vid_length)
+
+        processor = InferenceCore(bundle, cfg)
+        saver = ResultSaver(
+            mask_output_root, vid_name, dataset=dataset_name,
+            object_manager=processor.object_manager,
+            use_long_id=vid_reader.use_long_id, palette=vid_reader.get_palette(),
+            save_scores=cfg.save_scores, score_output_root=score_output_root,
+            visualize_output_root=visualize_output_root, visualize=cfg.visualize,
+            init_json=vid_reader.sequence_json if is_burst else None)
+        first_mask_loaded = False
+        try:
+            for ti, data in enumerate(prefetch_iter(vid_reader, num_workers=4)):
+                image = data["rgb"]
+                mask = data.get("mask")
+                valid_labels = data.get("valid_labels")
+                if valid_labels is not None:
+                    valid_labels = [int(x) for x in valid_labels]
+                info = data["info"]
+
+                t0 = time.perf_counter()
+                if not first_mask_loaded:
+                    if mask is not None:
+                        first_mask_loaded = True
+                    else:
+                        continue
+                prob = processor.step(image, mask, valid_labels,
+                                      end=(ti == vid_length - 1))
+                jax.block_until_ready(prob)
+                total_process_time += time.perf_counter() - t0
+                total_frames += 1
+
+                if save_all or info["save"]:
+                    saver.process(prob, info["frame"],
+                                  resize_needed=info["resize_needed"],
+                                  shape=info["shape"],
+                                  last_frame=(ti == vid_length - 1),
+                                  path_to_image=info["path_to_image"])
+            saver.end()
+            if is_burst:
+                burst_handler.add_sequence(saver.video_json)
+        except Exception as e:
+            log.error("Runtime error at %s: %s", vid_name, e)
+            saver.end()
+            raise
+
+    log.info("Total processing time: %s", total_process_time)
+    log.info("Total processed frames: %s", total_frames)
+    fps = total_frames / total_process_time if total_process_time else 0.0
+    log.info("FPS: %s", fps)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        log.info("Peak device memory (MB): %s",
+                 stats.get("peak_bytes_in_use", 0) / 2 ** 20)
+    except Exception:
+        pass
+
+    make_zip(dataset_name, run_dir, cfg.exp_id, mask_output_root)
+    if is_burst:
+        burst_handler.dump(run_dir)
+    return {"fps": fps, "total_frames": total_frames}
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    cfg = eval_config("base")
+    cfg.apply_overrides(sys.argv[1:])
+    # re-apply model preset if overridden, e.g. model=small
+    if isinstance(cfg.get("model"), str):
+        from cutie_tpu.config import model_base, model_small
+        cfg.model = model_small() if cfg.model == "small" else model_base()
+    eval_vos(cfg)
+
+
+if __name__ == "__main__":
+    main()

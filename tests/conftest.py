@@ -1,10 +1,26 @@
 import os
+import sys
 
 # Tests run on CPU with a virtual 8-device mesh (the JAX-native way to test
 # multi-chip sharding without a cluster — SURVEY.md §4).
-# force CPU: the harness exports JAX_PLATFORMS=axon (remote TPU tunnel), which
-# would make every tiny test op a network round-trip. Set CUTIE_TPU_TEST_TPU=1
-# to run the suite on the real device.
+#
+# The environment ships an `axon` TPU-tunnel PJRT plugin via a sitecustomize
+# on PYTHONPATH; its registration (a) makes JAX_PLATFORMS default to the
+# remote TPU (every tiny test op = a network round-trip) and (b) breaks
+# --xla_force_host_platform_device_count for the local CPU backend. Re-exec
+# pytest once with a clean environment. Set CUTIE_TPU_TEST_TPU=1 to run the
+# suite on the real device instead.
+if (os.environ.get("CUTIE_TPU_TEST_TPU") != "1"
+        and ".axon_site" in os.environ.get("PYTHONPATH", "")):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
 if os.environ.get("CUTIE_TPU_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

@@ -1,0 +1,119 @@
+"""Unit tests: RLE codec, palettes, resize parity, config system, tensor utils."""
+import numpy as np
+
+
+def test_rle_roundtrip():
+    from cutie_tpu.utils import rle
+
+    rng = np.random.default_rng(0)
+    for shape in [(7, 5), (32, 64), (1, 1), (480, 854)]:
+        mask = (rng.uniform(size=shape) > 0.7).astype(np.uint8)
+        enc = rle.encode(mask)
+        dec = rle.decode(enc)
+        np.testing.assert_array_equal(mask, dec)
+    # empty + full masks
+    for mask in [np.zeros((16, 16), np.uint8), np.ones((16, 16), np.uint8)]:
+        np.testing.assert_array_equal(mask, rle.decode(rle.encode(mask)))
+
+
+def test_rle_matches_pycocotools_format():
+    """Encode with our codec, decode with the reference algorithm transcribed
+    independently? pycocotools is unavailable — instead check a hand-computed
+    tiny case: column-major counts, leading zero-run."""
+    from cutie_tpu.utils import rle
+
+    mask = np.array([[1, 0], [1, 0]], np.uint8)  # F-order: 1,1,0,0 -> counts [0,2,2]
+    counts = rle._counts_from_mask(mask)
+    assert counts == [0, 2, 2]
+    assert rle.string_to_counts(rle.counts_to_string(counts)) == counts
+
+
+def test_davis_palette_matches_voc():
+    from cutie_tpu.utils.palette import davis_palette_np
+
+    # spot-check the canonical VOC entries
+    np.testing.assert_array_equal(davis_palette_np[0], [0, 0, 0])
+    np.testing.assert_array_equal(davis_palette_np[1], [128, 0, 0])
+    np.testing.assert_array_equal(davis_palette_np[2], [0, 128, 0])
+    np.testing.assert_array_equal(davis_palette_np[8], [64, 0, 0])
+
+
+def test_area_downsample_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from cutie_tpu.ops.resize import area_downsample
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 32, 48, 3)).astype(np.float32)
+    ours = np.asarray(area_downsample(x, 4))
+    theirs = F.interpolate(torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                           scale_factor=0.25, mode="area").numpy()
+    np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bilinear_resize_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from cutie_tpu.ops.resize import bilinear_resize
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 17, 23, 2)).astype(np.float32)
+    ours = np.asarray(bilinear_resize(x, 34, 46))
+    theirs = F.interpolate(torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                           size=(34, 46), mode="bilinear",
+                           align_corners=False).numpy()
+    np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_nearest_exact_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from cutie_tpu.ops.resize import nearest_exact_resize_np
+
+    rng = np.random.default_rng(0)
+    mask = rng.integers(0, 5, size=(31, 57)).astype(np.int64)
+    ours = nearest_exact_resize_np(mask, 17, 29)
+    theirs = F.interpolate(torch.tensor(mask)[None, None].float(),
+                           size=(17, 29), mode="nearest-exact")[0, 0]
+    np.testing.assert_array_equal(ours, theirs.long().numpy())
+
+
+def test_pad_divide_by_matches_reference_split():
+    from cutie_tpu.ops.tensor_utils import compute_pad
+
+    # reference splits padding with the extra pixel on the upper/right side
+    assert compute_pad(30, 30, 16) == (1, 1, 1, 1)
+    assert compute_pad(33, 47, 16) == (0, 1, 7, 8)
+    assert compute_pad(32, 32, 16) == (0, 0, 0, 0)
+
+
+def test_config_overrides():
+    from cutie_tpu.config import eval_config, get_dataset_cfg
+
+    cfg = eval_config("base")
+    cfg.apply_overrides(["dataset=lvos-val", "mem_every=7",
+                         "long_term.max_num_tokens=5000"])
+    data_cfg = get_dataset_cfg(cfg)
+    assert cfg.long_term.max_num_tokens == 5000
+    assert data_cfg.use_long_term is True
+    assert data_cfg.mem_every == 7  # top-level override wins over dataset default
+
+
+def test_aggregate_matches_reference_formula():
+    import torch
+
+    from cutie_tpu.ops.tensor_utils import aggregate
+
+    rng = np.random.default_rng(0)
+    prob = rng.uniform(size=(1, 3, 8, 8)).astype(np.float32)
+    ours = np.asarray(aggregate(prob, axis=1))
+    t = torch.tensor(prob)
+    new_prob = torch.cat([torch.prod(1 - t, dim=1, keepdim=True), t],
+                         1).clamp(1e-7, 1 - 1e-7)
+    theirs = torch.log(new_prob / (1 - new_prob)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
