@@ -1,0 +1,91 @@
+"""Deterministic sharded training loader.
+
+TPU-native replacement for DistributedSampler + DataLoader workers
+(cutie/dataset/setup_training_data.py:18-87): a deterministic global index
+stream (seeded permutation per epoch) sharded by process_index, decoded by a
+thread pool ahead of the train step. Resumption is exact: the stream position
+is a pure function of (seed, epoch, iteration).
+"""
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate(samples, pad_objects: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Stack per-sample dicts into a batch; build soft_gt one-hot for frames
+    1..T-1 (channels C = max_num_obj + 1, layout [B, T-1, C, H, W])."""
+    out: Dict[str, np.ndarray] = {}
+    out["frames"] = np.stack([s["rgb"] for s in samples])
+    out["first_frame_gt"] = np.stack([s["first_frame_gt"] for s in samples])
+    out["selector"] = np.stack([s["selector"] for s in samples])
+    cls_gt = np.stack([s["cls_gt"] for s in samples])  # [B, T, H, W]
+    out["cls_gt"] = cls_gt
+    num_classes = out["first_frame_gt"].shape[1] + 1
+    soft = np.eye(num_classes, dtype=np.float32)[cls_gt[:, 1:]]  # [B,T-1,H,W,C]
+    out["soft_gt"] = np.moveaxis(soft, -1, 2)  # [B, T-1, C, H, W]
+    out["info"] = [s["info"] for s in samples]
+    return out
+
+
+class ShardedLoader:
+    """Iterates (batch, iteration) pairs. Global batch is split across
+    processes; each sample is decoded with a per-(epoch, index) RNG so the
+    stream is reproducible and resumable."""
+
+    def __init__(self, dataset, batch_size: int, *, seed: int = 0,
+                 num_workers: int = 8, process_index: int = 0,
+                 process_count: int = 1, drop_last: bool = True,
+                 prefetch_batches: int = 2):
+        assert batch_size % process_count == 0, \
+            "global batch size must divide evenly across processes"
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.local_batch = batch_size // process_count
+        self.seed = seed
+        self.num_workers = num_workers
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+        self.prefetch_batches = prefetch_batches
+
+    def batches_per_epoch(self) -> int:
+        return len(self.dataset) // self.global_batch
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        perm = rng.permutation(len(self.dataset))
+        n_batches = self.batches_per_epoch()
+
+        def load_one(global_idx: int, sample_idx: int):
+            sample_rng = np.random.default_rng((self.seed, epoch, int(sample_idx)))
+            return self.dataset.get(int(global_idx), sample_rng)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = Queue()
+            stop = threading.Event()
+
+            def submit_all():
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    start = b * self.global_batch + self.process_index * self.local_batch
+                    futs = [pool.submit(load_one, perm[start + i], start + i)
+                            for i in range(self.local_batch)]
+                    pending.put(futs)  # bounded by queue get pace
+                pending.put(None)
+
+            t = threading.Thread(target=submit_all, daemon=True)
+            t.start()
+            try:
+                while True:
+                    futs = pending.get()
+                    if futs is None:
+                        break
+                    yield collate([f.result() for f in futs])
+            finally:
+                stop.set()

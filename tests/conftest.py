@@ -10,16 +10,34 @@ import sys
 # --xla_force_host_platform_device_count for the local CPU backend. Re-exec
 # pytest once with a clean environment. Set CUTIE_TPU_TEST_TPU=1 to run the
 # suite on the real device instead.
-if (os.environ.get("CUTIE_TPU_TEST_TPU") != "1"
-        and ".axon_site" in os.environ.get("PYTHONPATH", "")):
+_NEEDS_CLEAN_REEXEC = (os.environ.get("CUTIE_TPU_TEST_TPU") != "1"
+                       and ".axon_site" in os.environ.get("PYTHONPATH", "")
+                       and os.environ.get("_CUTIE_TPU_REEXEC") != "1")
+
+
+def pytest_configure(config):
+    """Re-exec the whole pytest run in a clean environment (see header).
+    Runs inside pytest_configure so the capture manager can be suspended —
+    pytest's fd-level capture would otherwise swallow the child's output."""
+    if not _NEEDS_CLEAN_REEXEC:
+        return
+    import subprocess
+
     env = dict(os.environ)
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    env["_CUTIE_TPU_REEXEC"] = "1"
     flags = env.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+    capman = config.pluginmanager.getplugin("capturemanager")
+    args = [sys.executable, "-m", "pytest"] + list(config.invocation_params.args)
+    if capman is not None and capman.is_globally_capturing():
+        with capman.global_and_fixture_disabled():
+            rc = subprocess.run(args, env=env).returncode
+    else:
+        rc = subprocess.run(args, env=env).returncode
+    os._exit(rc)
 
 if os.environ.get("CUTIE_TPU_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"

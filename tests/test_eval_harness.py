@@ -22,7 +22,8 @@ def tiny_davis(tmp_path):
     from cutie_tpu.utils.palette import davis_palette
     for ti, f in enumerate(frames):
         arr = (np.transpose(f, (1, 2, 0)) * 255).astype(np.uint8)
-        Image.fromarray(arr).save(img_dir / f"{ti:05d}.jpg", quality=95)
+        # lossless: jpeg noise would compound through the random-weight model
+        Image.fromarray(arr).save(img_dir / f"{ti:05d}.png")
     m = Image.fromarray(mask0.astype(np.uint8), mode="P")
     m.putpalette(davis_palette)
     m.save(mask_dir / "00000.png")

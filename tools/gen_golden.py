@@ -107,7 +107,10 @@ def synth_frames(t: int, h: int, w: int, seed: int = 3):
         y2, x2 = h // 2 + ti, w // 2 - ti * 2
         f[y1:y1 + sq, x1:x1 + sq] = [0.9, 0.2, 0.1]
         f[y2:y2 + sq, x2:x2 + sq] = [0.1, 0.3, 0.9]
-        frames.append(np.transpose(f, (2, 0, 1)))
+        # quantize to the uint8 grid so PNG roundtrips reproduce the exact
+        # pixels (the eval-harness test writes these frames to disk)
+        f = np.round(f * 255.0) / 255.0
+        frames.append(np.transpose(f, (2, 0, 1)).astype(np.float32))
         if ti == 0:
             masks0[y1:y1 + sq, x1:x1 + sq] = 1
             masks0[y2:y2 + sq, x2:x2 + sq] = 2
