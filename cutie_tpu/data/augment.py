@@ -198,7 +198,9 @@ def tps_warp_grid(c_src: np.ndarray, c_dst: np.ndarray, h: int, w: int):
     """Backward-warp sampling grid: for each output pixel, where to sample."""
     theta = _tps_fit(c_src, c_dst)
     n = c_src.shape[0]
-    ys, xs = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    # control points are normalized as index/h (pick_random_points), so the
+    # grid uses the same convention — identity then maps pixel i to i exactly
+    ys, xs = np.meshgrid(np.arange(h) / h, np.arange(w) / w, indexing="ij")
     pts = np.stack([ys.ravel(), xs.ravel()], axis=1)  # normalized (y, x)
     d2 = np.sum((pts[:, None] - c_dst[None]) ** 2, axis=-1)
     k = _tps_kernel(d2)

@@ -1,0 +1,226 @@
+"""Two-stage training entry point.
+
+Behavioral parity target: reference cutie/train.py:37-170 — pre_training
+(static images) then main_training (VOS) with in-memory weight hand-off,
+per-stage seeding, the max_skip curriculum that rebuilds the loader
+mid-training, periodic weight/checkpoint saving with a crash-save guard.
+
+Distribution: jax.distributed.initialize() for multi-host (replaces
+torchrun/NCCL env plumbing, cutie/train.py:19-29); the train step runs under
+a `data` mesh.
+
+Usage:
+    python -m cutie_tpu.train exp_id=first data.vos_datasets.base=... [overrides]
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from os import path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cutie_tpu_jax_cache")
+
+import jax
+import numpy as np
+
+from cutie_tpu.config import Config, eval_config, model_base, model_small
+from cutie_tpu.utils.log_integrator import Integrator
+from cutie_tpu.utils.logger import TensorboardLogger
+from cutie_tpu.utils.time_estimator import TimeEstimator
+
+log = logging.getLogger("train")
+
+
+def train_config() -> Config:
+    """Mirrors reference cutie/config/train_config.yaml + data/base.yaml."""
+    return Config({
+        "model": model_base(),
+        "exp_id": "default",
+        "debug": False,
+        "weights": None,
+        "checkpoint": None,
+        "seed": 14159265,
+        "num_workers": 16,
+        "single_object_pretraining": True,
+        "log_text_interval": 100,
+        "log_image_interval": 1500,
+        "save_weights_interval": 10000,
+        "save_checkpoint_interval": 10000,
+        "data": {
+            "image_datasets": {
+                "base": "../static",
+                "FSS": {"directory": "fss", "data_structure": 0, "multiplier": 1},
+                "DUTS_TR": {"directory": "DUTS-TR", "data_structure": 1, "multiplier": 1},
+                "DUTS_TE": {"directory": "DUTS-TE", "data_structure": 1, "multiplier": 1},
+                "ECSSD": {"directory": "ecssd", "data_structure": 1, "multiplier": 1},
+                "BIG": {"directory": "BIG_small", "data_structure": 1, "multiplier": 5},
+                "HRSOD": {"directory": "HRSOD_small", "data_structure": 1, "multiplier": 5},
+            },
+            "vos_datasets": {
+                "base": "../",
+                "DAVIS": {
+                    "image_directory": "DAVIS/2017/trainval/JPEGImages/480p",
+                    "mask_directory": "DAVIS/2017/trainval/Annotations/480p",
+                    "multiplier": 2, "frame_interval": 2,
+                    "subset": "./cutie_tpu/utils/subsets/davis_train.txt",
+                    "empty_masks": None,
+                },
+                "YouTubeVOS": {
+                    "image_directory": "YouTube/train/JPEGImages",
+                    "mask_directory": "YouTube/train/Annotations",
+                    "multiplier": 1, "frame_interval": 5,
+                    "subset": None, "empty_masks": None,
+                },
+            },
+            "pre_training": {"datasets": ["FSS", "DUTS_TR", "DUTS_TE", "ECSSD",
+                                          "BIG", "HRSOD"]},
+            "main_training": {"datasets": ["DAVIS", "YouTubeVOS"],
+                              "num_iterations": 125000,
+                              "lr_schedule_steps": [100000, 115000]},
+        },
+        "pre_training": {
+            "name": "pre_training", "enabled": True, "batch_size": 16,
+            "amp": False, "num_iterations": 80000, "learning_rate": 1e-4,
+            "lr_schedule": "constant", "point_supervision": True,
+            "train_num_points": 8192, "oversample_ratio": 3.0,
+            "importance_sample_ratio": 0.75, "clip_grad_norm": 3.0,
+            "weight_decay": 0.001, "embed_weight_decay": 0.0,
+            "backbone_lr_ratio": 0.1, "num_ref_frames": 2, "seq_length": 3,
+            "num_objects": 1, "deep_update_prob": 0.2, "crop_size": [384, 384],
+            "frequent_save_in_last": 0, "frequent_save_interval": 1000,
+        },
+        "main_training": {
+            "name": "main_training", "enabled": True, "batch_size": 16,
+            "amp": True, "num_iterations": 125000, "learning_rate": 1e-4,
+            "lr_schedule": "step", "lr_schedule_steps": [100000, 115000],
+            "lr_schedule_gamma": 0.1, "point_supervision": True,
+            "train_num_points": 12544, "oversample_ratio": 3.0,
+            "importance_sample_ratio": 0.75, "clip_grad_norm": 3.0,
+            "weight_decay": 0.001, "embed_weight_decay": 0.0,
+            "backbone_lr_ratio": 0.1, "num_ref_frames": 3, "seq_length": 8,
+            "num_objects": 3, "deep_update_prob": 0.2, "crop_size": [480, 480],
+            "merge_probability": 0.5, "max_skip_schedule": [5, 10, 15, 5],
+            "max_skip_schedule_fraction": [0.0, 0.1, 0.3, 0.8],
+            "frequent_save_in_last": 0, "frequent_save_interval": 1000,
+        },
+    })
+
+
+def run_stage(cfg, stage_cfg, variables, run_path, logger):
+    from cutie_tpu.data.setup_training_data import (setup_main_training_datasets,
+                                                    setup_pre_training_datasets)
+    from cutie_tpu.models import CUTIE
+    from cutie_tpu.parallel import make_mesh
+    from cutie_tpu.training.trainer import Trainer
+
+    stage = stage_cfg.name
+    seed = cfg.seed + (0 if stage == "pre_training" else 1)
+    single_object = (stage_cfg.num_objects == 1
+                     and cfg.get("single_object_pretraining", True))
+    model = CUTIE(cfg, single_object=single_object)
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(cfg=cfg, stage_cfg=stage_cfg, model=model,
+                      variables=variables, mesh=mesh)
+    if cfg.checkpoint is not None and stage == "main_training":
+        trainer.load_checkpoint(cfg.checkpoint)
+
+    integrator = Integrator(logger)
+    logger.time_estimator = TimeEstimator(stage_cfg.num_iterations,
+                                          cfg.log_text_interval)
+
+    max_skip_values = stage_cfg.get("max_skip_schedule", [0])
+    max_skip_fracs = stage_cfg.get("max_skip_schedule_fraction", [0.0])
+
+    def build_loader(max_skip):
+        if stage == "pre_training":
+            return setup_pre_training_datasets(cfg, stage_cfg, seed=seed)[1]
+        return setup_main_training_datasets(cfg, stage_cfg, max_skip, seed=seed)[1]
+
+    total_iter = stage_cfg.num_iterations
+    skip_i = 0
+    loader = build_loader(max_skip_values[0])
+    it = trainer.it
+    rng = jax.random.PRNGKey(seed)
+    epoch = 0
+    try:
+        while it < total_iter:
+            for data in loader.epoch(epoch):
+                # max_skip curriculum: rebuild the loader at schedule points
+                # (train.py:102-119,142-149)
+                if (stage == "main_training"
+                        and skip_i < len(max_skip_fracs) - 1
+                        and it >= max_skip_fracs[skip_i + 1] * total_iter):
+                    skip_i += 1
+                    loader = build_loader(max_skip_values[skip_i])
+                    break
+                rng, k = jax.random.split(rng)
+                data.pop("info", None)
+                data.pop("cls_gt", None)
+                losses = trainer.do_pass(data, it, k)
+                integrator.add_dict(losses)
+                it += 1
+                if it % cfg.log_text_interval == 0:
+                    integrator.finalize(f"train/{stage}", it)
+                    integrator.reset_except_hooks()
+                if it % cfg.save_weights_interval == 0 and jax.process_index() == 0:
+                    trainer.save_weights(path.join(run_path, f"weights_{it}.npz"))
+                if it % cfg.save_checkpoint_interval == 0 and jax.process_index() == 0:
+                    trainer.save_checkpoint(path.join(run_path, "checkpoint.pkl"))
+                if it >= total_iter:
+                    break
+            epoch += 1
+    finally:
+        # crash-save guard (train.py:157-160)
+        if jax.process_index() == 0:
+            trainer.save_weights(path.join(run_path, f"weights_{stage}_final.npz"))
+            trainer.save_checkpoint(path.join(run_path, "checkpoint_final.pkl"))
+    return trainer.get_variables()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+    cfg = train_config()
+    cfg.apply_overrides(sys.argv[1:])
+    if isinstance(cfg.get("model"), str):
+        cfg.model = model_small() if cfg.model == "small" else model_base()
+
+    run_path = path.join("output", cfg.exp_id)
+    logger = TensorboardLogger(path.join(run_path, "tb"),
+                               enabled=jax.process_index() == 0)
+    logger.log_string("config", str(cfg.to_dict()))
+
+    np.random.seed(cfg.seed)
+
+    variables = None
+    if cfg.weights is not None:
+        from cutie_tpu.training.trainer import load_weights_npz
+        variables = load_weights_npz(cfg.weights)
+
+    for stage_name in ("pre_training", "main_training"):
+        stage_cfg = cfg[stage_name]
+        if not stage_cfg.enabled:
+            continue
+        if variables is None:
+            from cutie_tpu.models import CUTIE
+            from cutie_tpu.utils.get_default_model import init_variables
+            single_object = (stage_cfg.num_objects == 1
+                             and cfg.get("single_object_pretraining", True))
+            model = CUTIE(cfg, single_object=single_object)
+            variables = init_variables(model)
+        log.info("=== stage %s ===", stage_name)
+        variables = run_stage(cfg, stage_cfg, variables, run_path, logger)
+        if stage_name == "pre_training" and stage_cfg.num_objects == 1:
+            # single->multi-object conv surgery for the hand-off
+            # (reference cutie/model/cutie.py:212-256 semantics)
+            from cutie_tpu.utils.weight_import import adapt_variables_single_to_multi
+            variables = adapt_variables_single_to_multi(
+                variables, cfg.model.sensory_dim, cfg.model.value_dim)
+
+
+if __name__ == "__main__":
+    main()

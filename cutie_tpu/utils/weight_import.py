@@ -68,6 +68,28 @@ def apply_object_surgery(sd: Dict[str, np.ndarray], single_object: bool,
     return sd
 
 
+def adapt_variables_single_to_multi(variables: Dict[str, Any], sensory_dim: int,
+                                    value_dim: int, seed: int = 0) -> Dict[str, Any]:
+    """Pytree-level single->multi-object surgery for OUR variable trees
+    (cross-stage hand-off; mirrors apply_object_surgery but on HWIO kernels)."""
+    import copy
+
+    rng = np.random.default_rng(seed)
+    variables = copy.deepcopy(variables)
+    p = variables["params"]
+    k = p["mask_encoder"]["trunk"]["conv1"]["kernel"]  # [7,7,in,64]
+    if k.shape[2] == 4:
+        pads = _orthogonal((64, 1, 7, 7), rng).transpose(2, 3, 1, 0)
+        p["mask_encoder"]["trunk"]["conv1"]["kernel"] = np.concatenate(
+            [np.asarray(k), pads], axis=2)
+    k = p["pixel_fuser"]["sensory_compress"]["conv"]["kernel"]  # [1,1,in,Cv]
+    if k.shape[2] == sensory_dim + 1:
+        pads = _orthogonal((value_dim, 1, 1, 1), rng).transpose(2, 3, 1, 0)
+        p["pixel_fuser"]["sensory_compress"]["conv"]["kernel"] = np.concatenate(
+            [np.asarray(k), pads], axis=2)
+    return variables
+
+
 def _flat_paths(tree, prefix=()):
     if isinstance(tree, dict):
         for k, v in tree.items():
