@@ -76,7 +76,7 @@ class InferenceCore:
             self.stagger_ti = set(
                 np.round(np.linspace(1, self.mem_every, stagger_updates)).astype(int))
         self.object_manager = ObjectManager()
-        self.steps = StepFunctions(self.model, cfg)
+        self.steps = StepFunctions.get(self.model, cfg)
 
         # memory budgets (memory_manager.py:29-38: -1 because the first frame
         # becomes permanent memory)
@@ -140,8 +140,13 @@ class InferenceCore:
 
     def update_config(self, cfg) -> None:
         self.mem_every = cfg["mem_every"]
-        self.steps.top_k = cfg["top_k"]
         assert self.use_long_term == bool(cfg["use_long_term"]), "cannot update this"
+        if int(cfg["top_k"]) != self.steps.top_k:
+            # top_k is baked into the compiled read graph — fetch/compile a
+            # variant (reference updates it live: memory_manager.py:59-75)
+            new_cfg = self.cfg.copy()
+            new_cfg.top_k = int(cfg["top_k"])
+            self.steps = StepFunctions.get(self.model, new_cfg)
         if self.use_long_term:
             self.max_mem_frames = cfg["long_term"]["max_mem_frames"] - 1
             self.min_mem_frames = cfg["long_term"]["min_mem_frames"] - 1

@@ -45,7 +45,20 @@ def _ring_token_validity(state: MemoryState) -> jnp.ndarray:
 
 
 class StepFunctions:
-    """Builds and caches the jitted step functions for one CUTIE model."""
+    """Builds and caches the jitted step functions for one CUTIE model.
+
+    Use StepFunctions.get() — instances are shared across InferenceCore
+    objects (the eval harness creates one core per video; fresh jax.jit
+    wrappers would retrace/recompile every graph per video)."""
+
+    _cache: Dict[Any, "StepFunctions"] = {}
+
+    @classmethod
+    def get(cls, model: CUTIE, cfg) -> "StepFunctions":
+        key = (id(model), int(cfg.top_k), bool(cfg.use_long_term))
+        if key not in cls._cache:
+            cls._cache[key] = cls(model, cfg)
+        return cls._cache[key]
 
     def __init__(self, model: CUTIE, cfg):
         self.model = model

@@ -41,6 +41,38 @@ def area_downsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return x.mean(axis=(-4, -2))
 
 
+def bilinear_resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True (corner-pixel-aligned sampling;
+    used by the RITM HRNet stack). Spatial axes (-3, -2), channels-last."""
+    h, w = x.shape[-3], x.shape[-2]
+
+    def coords(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            return jnp.zeros((n_out,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+
+    ys = coords(h, out_h)
+    xs = coords(w, out_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0).reshape(-1, 1, 1)
+    wx = (xs - x0).reshape(1, -1, 1)
+
+    def gather(yi, xi):
+        out = jnp.take(x, yi, axis=-3)
+        return jnp.take(out, xi, axis=-2)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
 def nearest_exact_resize_np(mask, out_h: int, out_w: int):
     """Host-side numpy equivalent of torch F.interpolate(mode='nearest-exact')
     for 2D index masks (reference cutie/inference/inference_core.py:221-223)."""

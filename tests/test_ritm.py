@@ -1,0 +1,65 @@
+"""RITM interactive-model parity + dist-map kernel tests."""
+import numpy as np
+import pytest
+
+from tests.conftest import require_golden
+
+
+def test_dist_maps_cpu_matches_xla():
+    import jax.numpy as jnp
+
+    from cutie_tpu.ritm.dist_maps import get_dist_maps_cpu, get_dist_maps_xla
+
+    pts = np.array([[10, 20, 0], [-1, -1, -1], [30, 5, 1],
+                    [40, 40, 0], [5, 50, 1], [-1, -1, -1]], np.float32)
+    cpu = get_dist_maps_cpu(pts, 48, 64, 5.0)
+    xla = np.asarray(get_dist_maps_xla(jnp.asarray(pts), 48, 64, 5.0))
+    np.testing.assert_allclose(cpu, np.minimum(xla, 1e6), atol=1e-3)
+
+
+def test_dist_maps_matches_reference_gpu_path():
+    """Our encode_clicks must match the reference's vectorized DistMaps math
+    (ops.py:59-99) — reimplemented here in numpy from its definition."""
+    from cutie_tpu.ritm.dist_maps import encode_clicks
+    import jax.numpy as jnp
+
+    h, w = 32, 40
+    pts = np.full((1, 4, 3), -1.0, np.float32)
+    pts[0, 0] = [8, 10, 0]
+    pts[0, 2] = [20, 30, 0]
+    norm_radius = 5.0
+
+    out = np.asarray(encode_clicks(jnp.asarray(pts), h, w,
+                                   norm_radius=norm_radius, use_disks=True))
+    # reference formula: disk = (squared distance <= r^2)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    pos = ((ys - 8) ** 2 + (xs - 10) ** 2) <= norm_radius ** 2
+    neg = ((ys - 20) ** 2 + (xs - 30) ** 2) <= norm_radius ** 2
+    np.testing.assert_array_equal(out[0, 0], pos.astype(np.float32))
+    np.testing.assert_array_equal(out[0, 1], neg.astype(np.float32))
+
+
+def test_hrnet_is_model_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.ritm.model import HRNetISModel
+    from cutie_tpu.ritm.weight_import import convert_ritm_state_dict
+
+    sd = dict(np.load(require_golden("ritm_state_dict.npz")))
+    rec = dict(np.load(require_golden("ritm_stages.npz")))
+
+    model = HRNetISModel(width=18, ocr_width=64, small=False,
+                         with_prev_mask=True, use_disks=True, norm_radius=5,
+                         use_rgb_conv=False, use_leaky_relu=True)
+    image = np.transpose(rec["image"], (0, 2, 3, 1))  # [1,H,W,4]
+    points = rec["points"]
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.asarray(image), jnp.asarray(points))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+    variables = convert_ritm_state_dict(sd, zeros, strict=True)
+
+    out = jax.jit(model.apply)(variables, image, points)
+    ours = np.asarray(out["instances"])[..., 0]  # [1,H,W]
+    theirs = rec["instances"][:, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=5e-3)

@@ -250,7 +250,48 @@ def main():
     gen_stream(model, out_dir, args.variant, use_long_term=False, tag="work")
     gen_stream(model, out_dir, args.variant, use_long_term=True, tag="lt", t=24)
 
+    gen_ritm(out_dir)
+
     print(f"Wrote fixtures for {args.variant} to {out_dir}")
+
+
+def gen_ritm(out_dir, seed: int = 99):
+    """Fixtures for the RITM interactive model (HRNet-18 + OCR, itermask
+    config matching the shipped coco_lvis_h18_itermask checkpoint)."""
+    import torch
+
+    sys.path.insert(0, str(REFERENCE / "gui"))
+    torch.manual_seed(seed)
+    from ritm.model.is_hrnet_model import HRNetModel
+
+    model = HRNetModel(width=18, ocr_width=64, small=False,
+                       with_aux_output=False, use_rgb_conv=False,
+                       use_leaky_relu=True,
+                       use_disks=True, norm_radius=5, with_prev_mask=True,
+                       cpu_dist_maps=False)
+    model.eval()
+    g = torch.Generator().manual_seed(seed + 1)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean = torch.randn(m.running_mean.shape, generator=g) * 0.05
+            m.running_var = 0.5 + torch.rand(m.running_var.shape, generator=g)
+
+    torch.manual_seed(7)
+    h, w = 64, 96
+    image = torch.rand(1, 4, h, w)  # rgb + prev mask
+    points = torch.full((1, 6, 3), -1.0)
+    points[0, 0] = torch.tensor([20.0, 30.0, 0.0])   # positive click
+    points[0, 1] = torch.tensor([40.0, 60.0, 1.0])   # positive click
+    points[0, 3] = torch.tensor([10.0, 80.0, 0.0])   # negative click
+    with torch.no_grad():
+        out = model(image, points)
+
+    np.savez_compressed(out_dir / "ritm_stages.npz",
+                        image=image.numpy(), points=points.numpy(),
+                        instances=out["instances"].numpy())
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(out_dir / "ritm_state_dict.npz", **sd)
+    print("ritm fixtures written")
 
 
 if __name__ == "__main__":
