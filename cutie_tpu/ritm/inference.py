@@ -1,0 +1,583 @@
+"""RITM interactive-segmentation inference stack (host orchestration).
+
+Behavioral parity targets:
+  - gui/ritm/inference/clicker.py (Clicker/Click incl. auto-click generation
+    from FN/FP distance transforms)
+  - gui/ritm/inference/transforms/{zoom_in,limit_longest_side,flip,base}.py
+  - gui/ritm/inference/predictors/base.py (BasePredictor)
+  - gui/ritm/controller.py (InteractiveController with undo)
+  - gui/ritm/utils/misc.py bbox helpers
+
+Host code is numpy; the network call goes through a shape-bucketed jit of
+HRNetISModel (images padded up to multiples of 32 so ZoomIn's variable crops
+hit a handful of compiled shapes).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from copy import deepcopy
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+
+# ------------------------------------------------------------------- clicks
+
+class Click:
+    def __init__(self, is_positive: bool, coords: Tuple[float, float], indx=None):
+        self.is_positive = is_positive
+        self.coords = coords
+        self.indx = indx
+
+    @property
+    def coords_and_indx(self):
+        return (*self.coords, self.indx)
+
+    def copy(self, **kwargs):
+        c = deepcopy(self)
+        for k, v in kwargs.items():
+            setattr(c, k, v)
+        return c
+
+
+class Clicker:
+    """(clicker.py:6-105)"""
+
+    def __init__(self, gt_mask=None, init_clicks=None, ignore_label=-1,
+                 click_indx_offset=0):
+        self.click_indx_offset = click_indx_offset
+        if gt_mask is not None:
+            self.gt_mask = gt_mask == 1
+            self.not_ignore_mask = gt_mask != ignore_label
+        else:
+            self.gt_mask = None
+        self.reset_clicks()
+        if init_clicks is not None:
+            for click in init_clicks:
+                self.add_click(click)
+
+    def make_next_click(self, pred_mask):
+        assert self.gt_mask is not None
+        self.add_click(self._get_next_click(pred_mask))
+
+    def get_clicks(self, clicks_limit=None):
+        return self.clicks_list[:clicks_limit]
+
+    def _get_next_click(self, pred_mask, padding=True) -> Click:
+        fn_mask = self.gt_mask & ~pred_mask & self.not_ignore_mask
+        fp_mask = ~self.gt_mask & pred_mask & self.not_ignore_mask
+        if padding:
+            fn_mask = np.pad(fn_mask, 1)
+            fp_mask = np.pad(fp_mask, 1)
+        fn_dt = cv2.distanceTransform(fn_mask.astype(np.uint8), cv2.DIST_L2, 0)
+        fp_dt = cv2.distanceTransform(fp_mask.astype(np.uint8), cv2.DIST_L2, 0)
+        if padding:
+            fn_dt = fn_dt[1:-1, 1:-1]
+            fp_dt = fp_dt[1:-1, 1:-1]
+        fn_dt = fn_dt * self.not_clicked_map
+        fp_dt = fp_dt * self.not_clicked_map
+        is_positive = fn_dt.max() > fp_dt.max()
+        dt = fn_dt if is_positive else fp_dt
+        ys, xs = np.where(dt == dt.max())
+        return Click(is_positive=bool(is_positive), coords=(int(ys[0]), int(xs[0])))
+
+    def add_click(self, click: Click):
+        click.indx = (self.click_indx_offset + self.num_pos_clicks
+                      + self.num_neg_clicks)
+        if click.is_positive:
+            self.num_pos_clicks += 1
+        else:
+            self.num_neg_clicks += 1
+        self.clicks_list.append(click)
+        if self.gt_mask is not None:
+            self.not_clicked_map[click.coords[0], click.coords[1]] = False
+
+    def reset_clicks(self):
+        if self.gt_mask is not None:
+            self.not_clicked_map = np.ones_like(self.gt_mask, dtype=bool)
+        self.num_pos_clicks = 0
+        self.num_neg_clicks = 0
+        self.clicks_list: List[Click] = []
+
+    def get_state(self):
+        return deepcopy(self.clicks_list)
+
+    def set_state(self, state):
+        self.reset_clicks()
+        for click in state:
+            self.add_click(click)
+
+    def __len__(self):
+        return len(self.clicks_list)
+
+
+# ------------------------------------------------------------- bbox helpers
+
+def get_bbox_from_mask(mask):
+    rows = np.any(mask, axis=1)
+    cols = np.any(mask, axis=0)
+    rmin, rmax = np.where(rows)[0][[0, -1]]
+    cmin, cmax = np.where(cols)[0][[0, -1]]
+    return rmin, rmax, cmin, cmax
+
+
+def expand_bbox(bbox, expand_ratio, min_crop_size=None):
+    rmin, rmax, cmin, cmax = bbox
+    rcenter = 0.5 * (rmin + rmax)
+    ccenter = 0.5 * (cmin + cmax)
+    height = expand_ratio * (rmax - rmin + 1)
+    width = expand_ratio * (cmax - cmin + 1)
+    if min_crop_size is not None:
+        height = max(height, min_crop_size)
+        width = max(width, min_crop_size)
+    rmin = int(round(rcenter - height / 2))
+    rmax = int(round(rcenter + height / 2))
+    cmin = int(round(ccenter - width / 2))
+    cmax = int(round(ccenter + width / 2))
+    return rmin, rmax, cmin, cmax
+
+
+def clamp_bbox(bbox, rmin, rmax, cmin, cmax):
+    return (max(rmin, bbox[0]), min(rmax, bbox[1]),
+            max(cmin, bbox[2]), min(cmax, bbox[3]))
+
+
+def get_bbox_iou(b1, b2):
+    h_iou = _segment_iou(b1[:2], b2[:2])
+    w_iou = _segment_iou(b1[2:4], b2[2:4])
+    return h_iou * w_iou
+
+
+def _segment_iou(s1, s2):
+    a = max(s1[0], s2[0])
+    b = min(s1[1], s2[1])
+    inter = max(b - a + 1, 0)
+    union = (s1[1] - s1[0] + 1) + (s2[1] - s2[0] + 1) - inter
+    return inter / union
+
+
+def _resize_chw(image, h, w):
+    """align_corners=True bilinear resize of [1, C, H, W] numpy (cv2-based
+    approximation is not exact; use our jax helper for parity)."""
+    import jax.numpy as jnp
+
+    from cutie_tpu.ops.resize import bilinear_resize_align_corners
+    x = jnp.moveaxis(jnp.asarray(image), 1, -1)
+    x = bilinear_resize_align_corners(x, h, w)
+    return np.asarray(jnp.moveaxis(x, -1, 1))
+
+
+# --------------------------------------------------------------- transforms
+
+class BaseTransform:
+    def __init__(self):
+        self.image_changed = False
+
+    def transform(self, image_nd, clicks_lists):
+        raise NotImplementedError
+
+    def inv_transform(self, prob_map):
+        raise NotImplementedError
+
+    def reset(self):
+        pass
+
+    def get_state(self):
+        return None
+
+    def set_state(self, state):
+        pass
+
+
+class SigmoidForPred(BaseTransform):
+    def transform(self, image_nd, clicks_lists):
+        return image_nd, clicks_lists
+
+    def inv_transform(self, prob_map):
+        return 1.0 / (1.0 + np.exp(-prob_map))
+
+
+class AddHorizontalFlip(BaseTransform):
+    def transform(self, image_nd, clicks_lists):
+        image_nd = np.concatenate([image_nd, image_nd[:, :, :, ::-1]], axis=0)
+        w = image_nd.shape[3]
+        flipped = [[c.copy(coords=(c.coords[0], w - c.coords[1] - 1))
+                    for c in cl] for cl in clicks_lists]
+        return image_nd, clicks_lists + flipped
+
+    def inv_transform(self, prob_map):
+        assert prob_map.shape[0] % 2 == 0
+        n = prob_map.shape[0] // 2
+        return 0.5 * (prob_map[:n] + prob_map[n:, :, :, ::-1])
+
+
+class ZoomIn(BaseTransform):
+    """(zoom_in.py:9-175)"""
+
+    def __init__(self, target_size=400, skip_clicks=1, expansion_ratio=1.4,
+                 min_crop_size=200, recompute_thresh_iou=0.5, prob_thresh=0.50):
+        super().__init__()
+        self.target_size = target_size
+        self.min_crop_size = min_crop_size
+        self.skip_clicks = skip_clicks
+        self.expansion_ratio = expansion_ratio
+        self.recompute_thresh_iou = recompute_thresh_iou
+        self.prob_thresh = prob_thresh
+        self.reset()
+
+    def reset(self):
+        self._input_image_shape = None
+        self._prev_probs = None
+        self._object_roi = None
+        self._roi_image = None
+        self.image_changed = False
+
+    def transform(self, image_nd, clicks_lists):
+        assert image_nd.shape[0] == 1 and len(clicks_lists) == 1
+        self.image_changed = False
+        clicks_list = clicks_lists[0]
+        if len(clicks_list) <= self.skip_clicks:
+            return image_nd, clicks_lists
+        self._input_image_shape = image_nd.shape
+
+        current_object_roi = None
+        if self._prev_probs is not None:
+            current_pred_mask = (self._prev_probs > self.prob_thresh)[0, 0]
+            if current_pred_mask.sum() > 0:
+                current_object_roi = get_object_roi(
+                    current_pred_mask, clicks_list, self.expansion_ratio,
+                    self.min_crop_size)
+        if current_object_roi is None:
+            if self.skip_clicks >= 0:
+                return image_nd, clicks_lists
+            current_object_roi = (0, image_nd.shape[2] - 1, 0,
+                                  image_nd.shape[3] - 1)
+
+        update = (self._object_roi is None
+                  or not check_object_roi(self._object_roi, clicks_list)
+                  or get_bbox_iou(current_object_roi,
+                                  self._object_roi) < self.recompute_thresh_iou)
+        if update:
+            self._object_roi = current_object_roi
+            self.image_changed = True
+        self._roi_image = get_roi_image_nd(image_nd, self._object_roi,
+                                           self.target_size)
+        return self._roi_image, [self._transform_clicks(clicks_list)]
+
+    def inv_transform(self, prob_map):
+        if self._object_roi is None:
+            self._prev_probs = np.asarray(prob_map)
+            return prob_map
+        assert prob_map.shape[0] == 1
+        rmin, rmax, cmin, cmax = self._object_roi
+        prob_map = _resize_chw(prob_map, rmax - rmin + 1, cmax - cmin + 1)
+        if self._prev_probs is not None:
+            new_prob_map = np.zeros_like(self._prev_probs)
+            new_prob_map[:, :, rmin:rmax + 1, cmin:cmax + 1] = prob_map
+        else:
+            new_prob_map = prob_map
+        self._prev_probs = new_prob_map
+        return new_prob_map
+
+    def check_possible_recalculation(self):
+        if (self._prev_probs is None or self._object_roi is not None
+                or self.skip_clicks > 0):
+            return False
+        pred_mask = (self._prev_probs > self.prob_thresh)[0, 0]
+        if pred_mask.sum() > 0:
+            roi = get_object_roi(pred_mask, [], self.expansion_ratio,
+                                 self.min_crop_size)
+            image_roi = (0, self._input_image_shape[2] - 1, 0,
+                         self._input_image_shape[3] - 1)
+            if get_bbox_iou(roi, image_roi) < 0.50:
+                return True
+        return False
+
+    def get_state(self):
+        return (self._input_image_shape, self._object_roi, self._prev_probs,
+                self._roi_image, self.image_changed)
+
+    def set_state(self, state):
+        (self._input_image_shape, self._object_roi, self._prev_probs,
+         self._roi_image, self.image_changed) = state
+
+    def _transform_clicks(self, clicks_list):
+        if self._object_roi is None:
+            return clicks_list
+        rmin, rmax, cmin, cmax = self._object_roi
+        ch, cw = self._roi_image.shape[2:]
+        out = []
+        for click in clicks_list:
+            nr = ch * (click.coords[0] - rmin) / (rmax - rmin + 1)
+            nc = cw * (click.coords[1] - cmin) / (cmax - cmin + 1)
+            out.append(click.copy(coords=(nr, nc)))
+        return out
+
+
+class LimitLongestSide(ZoomIn):
+    """(limit_longest_side.py)"""
+
+    def __init__(self, max_size=800):
+        super().__init__(target_size=max_size, skip_clicks=0)
+
+    def transform(self, image_nd, clicks_lists):
+        assert image_nd.shape[0] == 1 and len(clicks_lists) == 1
+        self.image_changed = False
+        if max(image_nd.shape[2:4]) <= self.target_size:
+            return image_nd, clicks_lists
+        self._input_image_shape = image_nd.shape
+        self._object_roi = (0, image_nd.shape[2] - 1, 0, image_nd.shape[3] - 1)
+        self._roi_image = get_roi_image_nd(image_nd, self._object_roi,
+                                           self.target_size)
+        self.image_changed = True
+        return self._roi_image, [self._transform_clicks(clicks_lists[0])]
+
+
+def get_object_roi(pred_mask, clicks_list, expansion_ratio, min_crop_size):
+    pred_mask = pred_mask.copy()
+    for click in clicks_list:
+        if click.is_positive:
+            pred_mask[int(click.coords[0]), int(click.coords[1])] = 1
+    bbox = get_bbox_from_mask(pred_mask)
+    bbox = expand_bbox(bbox, expansion_ratio, min_crop_size)
+    h, w = pred_mask.shape
+    return clamp_bbox(bbox, 0, h - 1, 0, w - 1)
+
+
+def get_roi_image_nd(image_nd, object_roi, target_size):
+    rmin, rmax, cmin, cmax = object_roi
+    height = rmax - rmin + 1
+    width = cmax - cmin + 1
+    if isinstance(target_size, tuple):
+        nh, nw = target_size
+    else:
+        scale = target_size / max(height, width)
+        nh, nw = int(round(height * scale)), int(round(width * scale))
+    roi = image_nd[:, :, rmin:rmax + 1, cmin:cmax + 1]
+    return _resize_chw(roi, nh, nw)
+
+
+def check_object_roi(object_roi, clicks_list):
+    for click in clicks_list:
+        if click.is_positive:
+            if not (object_roi[0] <= click.coords[0] < object_roi[1]):
+                return False
+            if not (object_roi[2] <= click.coords[1] < object_roi[3]):
+                return False
+    return True
+
+
+# ---------------------------------------------------------------- predictor
+
+class Predictor:
+    """(predictors/base.py:7-133). NoBRS mode; images numpy [1, C, H, W]."""
+
+    def __init__(self, model, variables, *, net_clicks_limit=None,
+                 with_flip=False, zoom_in: Optional[ZoomIn] = None,
+                 max_size=None):
+        import jax
+
+        self.net_clicks_limit = net_clicks_limit
+        self.with_flip = with_flip
+        self.zoom_in = zoom_in
+        self.original_image = None
+        self.prev_prediction = None
+        self.model = model
+        self.variables = variables
+        self.with_prev_mask = getattr(model, "with_prev_mask", True)
+
+        self._apply = jax.jit(model.apply)
+
+        self.transforms: List[BaseTransform] = []
+        if zoom_in is not None:
+            self.transforms.append(zoom_in)
+        if max_size is not None:
+            self.transforms.append(LimitLongestSide(max_size=max_size))
+        self.transforms.append(SigmoidForPred())
+        if with_flip:
+            self.transforms.append(AddHorizontalFlip())
+
+    def set_input_image(self, image: np.ndarray):
+        """image: [C, H, W] or [1, C, H, W] float 0..1."""
+        for t in self.transforms:
+            t.reset()
+        if image.ndim == 3:
+            image = image[None]
+        self.original_image = np.asarray(image, np.float32)
+        self.prev_prediction = np.zeros_like(self.original_image[:, :1])
+
+    def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:
+        clicks_list = clicker.get_clicks()
+        input_image = self.original_image
+        if prev_mask is None:
+            prev_mask = self.prev_prediction
+        else:
+            prev_mask = np.asarray(prev_mask, np.float32)
+            if prev_mask.ndim == 2:
+                prev_mask = prev_mask[None, None]
+        if self.with_prev_mask:
+            input_image = np.concatenate([input_image, prev_mask], axis=1)
+
+        image_nd, clicks_lists, _changed = self._apply_transforms(
+            input_image, [clicks_list])
+        points_nd = self._get_points_nd(clicks_lists)
+        pred_logits = self._run_model(image_nd, points_nd)
+
+        prediction = _resize_chw(pred_logits, image_nd.shape[2], image_nd.shape[3])
+        for t in reversed(self.transforms):
+            prediction = t.inv_transform(prediction)
+
+        if self.zoom_in is not None and self.zoom_in.check_possible_recalculation():
+            return self.get_prediction(clicker)
+
+        self.prev_prediction = prediction
+        return prediction
+
+    def _run_model(self, image_nd, points_nd) -> np.ndarray:
+        """Pad image to multiples of 32 and clicks to powers of two so the jit
+        sees a handful of shapes; crop the logits back."""
+        b, c, h, w = image_nd.shape
+        hp = int(math.ceil(h / 32) * 32)
+        wp = int(math.ceil(w / 32) * 32)
+        img = np.zeros((b, hp, wp, c), np.float32)
+        img[:, :h, :w] = np.transpose(image_nd, (0, 2, 3, 1))
+
+        k = points_nd.shape[1] // 2
+        kp = max(1, 1 << (k - 1).bit_length())
+        pts = np.full((b, 2 * kp, 3), -1.0, np.float32)
+        pts[:, :k] = points_nd[:, :k]
+        pts[:, kp:kp + k] = points_nd[:, k:]
+
+        out = self._apply(self.variables, img, pts)
+        inst = np.asarray(out["instances"])  # [B, Hp, Wp, 1]
+        return np.transpose(inst, (0, 3, 1, 2))[:, :, :h, :w]
+
+    def _apply_transforms(self, image_nd, clicks_lists):
+        changed = False
+        for t in self.transforms:
+            image_nd, clicks_lists = t.transform(image_nd, clicks_lists)
+            changed |= t.image_changed
+        return image_nd, clicks_lists, changed
+
+    def _get_points_nd(self, clicks_lists) -> np.ndarray:
+        total_clicks = []
+        num_pos = [sum(c.is_positive for c in cl) for cl in clicks_lists]
+        num_neg = [len(cl) - p for cl, p in zip(clicks_lists, num_pos)]
+        num_max = max(num_pos + num_neg)
+        if self.net_clicks_limit is not None:
+            num_max = min(self.net_clicks_limit, num_max)
+        num_max = max(1, num_max)
+        for cl in clicks_lists:
+            cl = cl[:self.net_clicks_limit]
+            pos = [c.coords_and_indx for c in cl if c.is_positive]
+            pos = pos + (num_max - len(pos)) * [(-1, -1, -1)]
+            neg = [c.coords_and_indx for c in cl if not c.is_positive]
+            neg = neg + (num_max - len(neg)) * [(-1, -1, -1)]
+            total_clicks.append(pos[:num_max] + neg[:num_max])
+        return np.asarray(total_clicks, np.float32)
+
+    def get_states(self):
+        return {"transform_states": [t.get_state() for t in self.transforms],
+                "prev_prediction": self.prev_prediction.copy()}
+
+    def set_states(self, states):
+        for s, t in zip(states["transform_states"], self.transforms):
+            t.set_state(s)
+        self.prev_prediction = states["prev_prediction"]
+
+
+# --------------------------------------------------------------- controller
+
+class InteractiveController:
+    """Click state machine with undo (gui/ritm/controller.py:12-110)."""
+
+    def __init__(self, model, variables, predictor_params, prob_thresh=0.5):
+        self.model = model
+        self.variables = variables
+        self.prob_thresh = prob_thresh
+        self.clicker = Clicker()
+        self.states = []
+        self.probs_history = []
+        self.object_count = 0
+        self._result_mask = None
+        self.image = None
+        self.predictor = None
+        self.predictor_params = predictor_params
+        self.reset_predictor()
+
+    def set_image(self, image: np.ndarray):
+        """image: [C, H, W] float 0..1."""
+        self.image = np.asarray(image, np.float32)
+        self._result_mask = np.zeros(image.shape[-2:], np.uint8)
+        self.object_count = 0
+        self.reset_last_object()
+
+    def add_click(self, x, y, is_positive, prev_mask=None):
+        self.states.append({"clicker": self.clicker.get_state(),
+                            "predictor": self.predictor.get_states()})
+        self.clicker.add_click(Click(is_positive=is_positive, coords=(y, x)))
+        pred = self.predictor.get_prediction(self.clicker, prev_mask=prev_mask)
+        if self.probs_history:
+            self.probs_history.append((self.probs_history[-1][0], pred))
+        else:
+            self.probs_history.append((np.zeros_like(pred), pred))
+        return pred
+
+    def undo_click(self):
+        if not self.states:
+            return
+        prev = self.states.pop()
+        self.clicker.set_state(prev["clicker"])
+        self.predictor.set_states(prev["predictor"])
+        self.probs_history.pop()
+
+    def partially_finish_object(self):
+        object_prob = self.current_object_prob
+        if object_prob is None:
+            return
+        self.probs_history.append((object_prob, np.zeros_like(object_prob)))
+        self.states.append(self.states[-1])
+        self.clicker.reset_clicks()
+        self.reset_predictor()
+
+    def finish_object(self):
+        object_prob = self.current_object_prob
+        if object_prob is None:
+            return
+        self.object_count += 1
+        self._result_mask[object_prob[0, 0] > self.prob_thresh] = self.object_count
+        self.reset_last_object()
+
+    def reset_last_object(self):
+        self.states = []
+        self.probs_history = []
+        self.clicker.reset_clicks()
+        self.reset_predictor()
+
+    def reset_predictor(self, predictor_params=None):
+        if predictor_params is not None:
+            self.predictor_params = predictor_params
+        params = dict(self.predictor_params)
+        zoom_in_params = params.pop("zoom_in_params", None)
+        zoom_in = ZoomIn(**zoom_in_params) if zoom_in_params is not None else None
+        self.predictor = Predictor(self.model, self.variables, zoom_in=zoom_in,
+                                   **params)
+        if self.image is not None:
+            self.predictor.set_input_image(self.image)
+
+    @property
+    def current_object_prob(self):
+        if self.probs_history:
+            total, additive = self.probs_history[-1]
+            return np.maximum(total, additive)
+        return None
+
+    @property
+    def is_incomplete_mask(self):
+        return len(self.probs_history) > 0
+
+    @property
+    def result_mask(self):
+        return self._result_mask.copy()

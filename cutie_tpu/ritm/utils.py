@@ -1,0 +1,103 @@
+"""RITM model loading + click controller glue.
+
+Behavioral parity targets: gui/ritm/inference/utils.py:20-44 (load_is_model
+rebuilding the model from the checkpoint's serialized config) and
+gui/click_controller.py (ClickController wrapper used by the GUI).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+from cutie_tpu.ritm.inference import InteractiveController
+from cutie_tpu.ritm.model import HRNetISModel
+from cutie_tpu.ritm.weight_import import convert_ritm_state_dict, load_ritm_checkpoint
+
+log = logging.getLogger(__name__)
+
+
+def load_is_model(checkpoint_path: Optional[str], **model_overrides):
+    """Build HRNetISModel (+variables) from a reference RITM .pth if given,
+    else random init. Returns (model, variables)."""
+    import jax
+    import jax.numpy as jnp
+
+    kwargs = dict(width=18, ocr_width=64, small=False, with_prev_mask=True,
+                  use_disks=True, norm_radius=5, use_rgb_conv=False,
+                  use_leaky_relu=True)
+    config = None
+    sd = None
+    if checkpoint_path:
+        try:
+            import torch
+            raw = torch.load(checkpoint_path, map_location="cpu",
+                             weights_only=False)
+            if isinstance(raw, dict) and "config" in raw:
+                import json
+                config = json.loads(raw["config"]) if isinstance(
+                    raw["config"], str) else raw["config"]
+            sd = {k: v.numpy() for k, v in raw.get("state_dict", raw).items()
+                  if hasattr(v, "numpy")}
+        except Exception as e:
+            log.warning("Could not load RITM checkpoint %s: %s", checkpoint_path, e)
+    if config is not None:
+        params = config.get("params", {}) if isinstance(config, dict) else {}
+        for k in ("width", "ocr_width", "small", "with_prev_mask", "use_disks",
+                  "norm_radius", "use_rgb_conv", "use_leaky_relu"):
+            if k in params:
+                kwargs[k] = params[k]
+    kwargs.update(model_overrides)
+
+    model = HRNetISModel(**kwargs)
+    c_in = 3 + (1 if kwargs["with_prev_mask"] else 0)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, c_in)),
+                            jnp.full((1, 2, 3), -1.0))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+    if sd is not None:
+        variables = convert_ritm_state_dict(sd, zeros, strict=False)
+    else:
+        variables = dict(model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, c_in)),
+                                    jnp.full((1, 2, 3), -1.0)))
+    return model, variables
+
+
+class ClickController:
+    """GUI-facing click controller (gui/click_controller.py). NoBRS mode;
+    f-BRS online optimization is not yet implemented."""
+
+    def __init__(self, checkpoint_path: Optional[str], max_size: int = 800):
+        model, variables = load_is_model(checkpoint_path)
+        predictor_params = {
+            "net_clicks_limit": 8,
+            "max_size": max_size,
+            "with_flip": True,
+            "zoom_in_params": {
+                "skip_clicks": 1,
+                "target_size": 480,
+                "expansion_ratio": 1.4,
+            },
+        }
+        self.controller = InteractiveController(model, variables, predictor_params)
+        self.anchored = False
+
+    def unanchor(self):
+        self.anchored = False
+
+    def interact(self, image: np.ndarray, x: int, y: int, is_positive: bool,
+                 prev_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """image: [C, H, W] float 0..1. Returns prob [1, 1, H, W]."""
+        if not self.anchored:
+            self.controller.set_image(image)
+            self.controller.reset_predictor()
+            self.anchored = True
+        return self.controller.add_click(x, y, is_positive, prev_mask=prev_mask)
+
+    def undo(self) -> Optional[np.ndarray]:
+        self.controller.undo_click()
+        if len(self.controller.probs_history) == 0:
+            return None
+        return (self.controller.probs_history[-1][1] > 0.5).astype(np.float32)

@@ -63,3 +63,43 @@ def test_hrnet_is_model_parity():
     ours = np.asarray(out["instances"])[..., 0]  # [1,H,W]
     theirs = rec["instances"][:, 0]
     np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=5e-3)
+
+
+def test_interactive_controller_flow():
+    """Clicks through the full Predictor/ZoomIn/flip stack with golden weights:
+    positive clicks must raise fg probability locally; undo restores state."""
+    import jax
+
+    from cutie_tpu.ritm.inference import InteractiveController, ZoomIn
+    from cutie_tpu.ritm.model import HRNetISModel
+    from cutie_tpu.ritm.weight_import import convert_ritm_state_dict
+    import jax.numpy as jnp
+
+    sd = dict(np.load(require_golden("ritm_state_dict.npz")))
+    model = HRNetISModel(width=18, ocr_width=64, small=False,
+                         with_prev_mask=True, use_disks=True, norm_radius=5,
+                         use_rgb_conv=False, use_leaky_relu=True)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 4)), jnp.full((1, 2, 3), -1.0))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+    variables = convert_ritm_state_dict(sd, zeros, strict=False)
+
+    rng = np.random.default_rng(0)
+    image = rng.uniform(0.2, 0.8, size=(3, 64, 96)).astype(np.float32)
+    ctl = InteractiveController(model, variables, {
+        "net_clicks_limit": 8, "with_flip": True,
+        "zoom_in_params": {"skip_clicks": 1, "target_size": 64,
+                           "expansion_ratio": 1.4},
+    })
+    ctl.set_image(image)
+    pred1 = ctl.add_click(40, 30, True)
+    assert pred1.shape == (1, 1, 64, 96)
+    assert 0.0 <= pred1.min() and pred1.max() <= 1.0
+    pred2 = ctl.add_click(60, 20, False)  # second click goes through ZoomIn
+    assert len(ctl.clicker) == 2
+    ctl.undo_click()
+    assert len(ctl.clicker) == 1
+    # finishing writes into the result mask
+    ctl.finish_object()
+    assert ctl.object_count == 1
+    assert ctl.result_mask.max() <= 1
