@@ -53,7 +53,9 @@ import pytest
 # environment, so cache everything aggressively across test runs
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/cutie_tpu_jax_cache")
+# separate cache from TPU runs: entries are compiled with machine-specific
+# flags and cross-loading spams cpu_aot_loader warnings
+jax.config.update("jax_compilation_cache_dir", "/tmp/cutie_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

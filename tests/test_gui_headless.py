@@ -1,0 +1,114 @@
+"""Headless GUI-controller integration: workspace build, click-to-segment,
+propagation, permanent commit, visualization modes, export."""
+import os
+from os import path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import require_golden
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    rec = dict(np.load(require_golden("stream_small_work.npz")))
+    root = tmp_path_factory.mktemp("ws")
+    img_dir = root / "frames"
+    os.makedirs(img_dir)
+    for ti, f in enumerate(rec["frames"][:6]):
+        arr = (np.transpose(f, (1, 2, 0)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{ti:05d}.png")
+    # ResourceManager reads .jpg; convert via the import path (max_size<0 copies)
+    return str(root), str(img_dir), rec
+
+
+def _controller(workspace_root, img_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.config import Config, eval_config
+    from cutie_tpu.gui.main_controller import MainController
+    from cutie_tpu.models import CUTIE
+    from cutie_tpu.utils.get_default_model import ModelBundle
+    from cutie_tpu.utils.weight_import import convert_torch_state_dict
+
+    sd = dict(np.load(require_golden("state_dict_small.npz")))
+    model_cfg = eval_config("small")
+    model_cfg.merge({"mem_every": 3, "max_mem_frames": 3, "use_long_term": False})
+    model = CUTIE(model_cfg)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2, 64, 64)))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+    variables = convert_torch_state_dict(sd, zeros, strict=False)
+    bundle = ModelBundle(model=model, variables=variables, cfg=model_cfg)
+
+    cfg = Config({
+        "images": img_dir, "video": None,
+        "workspace": path.join(workspace_root, "workspace"),
+        "num_objects": 2, "buffer_size": 20, "save_queue_size": 20,
+        "num_save_threads": 2, "max_overall_size": -1,
+        "max_internal_size": -1, "mem_every": 3, "use_long_term": False,
+        "output_fps": 10,
+    })
+    return MainController(cfg, bundle=bundle, click_ckpt=None)
+
+
+def test_gui_controller_full_flow(workspace):
+    root, img_dir, rec = workspace
+    ctl = _controller(root, img_dir)
+    assert ctl.T == 6
+
+    # instead of a RITM click (random weights -> meaningless), import the GT
+    # mask like the reference's import-mask flow, then propagate
+    mask0 = rec["mask0"].astype(np.uint8)
+    from cutie_tpu.utils.palette import davis_palette
+    m = Image.fromarray(mask0, mode="P")
+    m.putpalette(davis_palette)
+    mask_file = path.join(root, "gt.png")
+    m.save(mask_file)
+    ctl.import_mask(mask_file)
+    assert ctl.curr_mask.max() == 2
+
+    # visualization modes all render
+    for mode in ("davis", "fade", "light", "popup", "mask", "image", "rgba"):
+        vis = ctl.visualize(mode)
+        assert vis.shape[:2] == (ctl.h, ctl.w)
+
+    # propagate forward through the remaining frames
+    ctl.on_propagate("forward")
+    assert ctl.curr_ti == 5
+    # masks must track the reference stream outputs closely
+    ref_mask = rec["probs"][5].argmax(0)
+    agree = (ctl.curr_mask == ref_mask).mean()
+    assert agree > 0.98, agree
+
+    # commit to permanent memory grows the permanent counter
+    perm_before = ctl.get_memory_gauges()["permanent"]
+    ctl.on_commit()
+    assert ctl.get_memory_gauges()["permanent"] > perm_before
+
+    # propagate backward
+    ctl.on_propagate("backward", max_frames=2)
+    assert ctl.curr_ti == 3
+
+    ctl.close()
+    # saved artifacts exist
+    ws = ctl.res_man.workspace
+    assert len(os.listdir(path.join(ws, "masks"))) >= 5
+    assert os.path.isdir(path.join(ws, "visualization", "davis"))
+
+
+def test_click_interaction_with_ritm(workspace):
+    """Drive an actual RITM click through the controller (random weights —
+    mechanics only)."""
+    root, img_dir, rec = workspace
+    ctl = _controller(root, img_dir)
+    ctl.click(30, 20)
+    assert ctl.interaction is not None
+    assert len(ctl.interaction.pos_clicks) == 1
+    assert ctl.curr_prob.shape[0] == 3
+    np.testing.assert_allclose(ctl.curr_prob.sum(0), 1.0, atol=1e-4)
+    ctl.click(50, 40, is_neg=True)
+    assert len(ctl.interaction.neg_clicks) == 1
+    ctl.close()
