@@ -1,3 +1,5 @@
-from cutie_tpu.config.config import Config, model_base, model_small, eval_config, get_dataset_cfg
+from cutie_tpu.config.config import (Config, eval_config, eval_plus_config,
+                                     get_dataset_cfg, model_base, model_small)
 
-__all__ = ["Config", "model_base", "model_small", "eval_config", "get_dataset_cfg"]
+__all__ = ["Config", "model_base", "model_small", "eval_config",
+           "eval_plus_config", "get_dataset_cfg"]

@@ -223,6 +223,27 @@ def eval_config(model: str = "base") -> Config:
     })
 
 
+def eval_plus_config(model: str = "base") -> Config:
+    """Mirrors reference cutie/config/eval_plus_config.yaml — higher-resolution
+    eval: 720p/600p, mem_every=3 (DAVIS/MOSE), max_mem_frames=10, with
+    size_directory overrides for full-resolution inputs."""
+    cfg = eval_config(model)
+    cfg.max_mem_frames = 10
+    plus_overrides = {
+        "d16-val": dict(size=720, mem_every=3),
+        "d17-val": dict(size=720, mem_every=3),
+        "d17-test-dev": dict(size=720, mem_every=3),
+        "y18-val": dict(size=600, mem_every=5),
+        "y19-val": dict(size=600, mem_every=5),
+        "mose-val": dict(size=720, mem_every=3),
+        "lvos-val": dict(size=600, mem_every=5),
+        "lvos-test": dict(size=600, mem_every=5),
+    }
+    for name, o in plus_overrides.items():
+        cfg.datasets[name].merge(o)
+    return cfg
+
+
 def get_dataset_cfg(cfg: Config) -> Config:
     """Merge the per-dataset block into the top level, honoring explicit top-level
     overrides (mirrors reference cutie/inference/utils/args_utils.py:7-30)."""
