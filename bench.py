@@ -30,8 +30,9 @@ N_OBJECTS = 3
 
 
 def synth_video(t, h, w, seed=0):
+    """uint8 HWC frames (the fast input path: decode-native layout)."""
     rng = np.random.default_rng(seed)
-    bg = rng.uniform(0.2, 0.6, size=(3, h, w)).astype(np.float32)
+    bg = rng.integers(50, 150, size=(h, w, 3), dtype=np.uint8)
     frames = []
     mask0 = np.zeros((h, w), np.int64)
     sq = h // 6
@@ -42,8 +43,8 @@ def synth_video(t, h, w, seed=0):
             yy, xx = y + ti * dy, x + ti * dx
             yy = int(np.clip(yy, 0, h - sq - 1))
             xx = int(np.clip(xx, 0, w - sq - 1))
-            f[:, yy:yy + sq, xx:xx + sq] = np.array(
-                [0.9 - 0.3 * oi, 0.2 + 0.3 * oi, 0.5])[:, None, None]
+            f[yy:yy + sq, xx:xx + sq] = np.array(
+                [230 - 70 * oi, 50 + 70 * oi, 128], np.uint8)
             if ti == 0:
                 mask0[yy:yy + sq, xx:xx + sq] = oi + 1
         frames.append(f)

@@ -70,7 +70,7 @@ class BURSTVideoReader:
         info["resize_needed"] = not (self.size < 0)
         info["time_index"] = self.frames.index(frame)
         info["path_to_image"] = im_path
-        data["rgb"] = np.transpose(np.asarray(img, np.float32) / 255.0, (2, 0, 1))
+        data["rgb"] = np.asarray(img, np.uint8)
         data["info"] = info
         return data
 

@@ -119,7 +119,8 @@ class VideoReader:
         info["resize_needed"] = resize_needed
         info["time_index"] = self._all_frames.index(frame)
         info["path_to_image"] = im_path
-        data["rgb"] = np.transpose(np.asarray(img, np.float32) / 255.0, (2, 0, 1))
+        # uint8 HWC: InferenceCore uploads this raw and converts on device
+        data["rgb"] = np.asarray(img, np.uint8)
         data["info"] = info
         return data
 

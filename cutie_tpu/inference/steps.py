@@ -26,6 +26,7 @@ from cutie_tpu.ops.memory import get_similarity, readout, softmax_affinity, topk
 
 
 class FrameFeatures(NamedTuple):
+    image: jnp.ndarray      # [B, Hp, Wp, 3] padded float frame (device-side)
     f16: jnp.ndarray
     f8: jnp.ndarray
     f4: jnp.ndarray
@@ -66,7 +67,7 @@ class StepFunctions:
         self.top_k = cfg.top_k
         self.use_long_term = bool(cfg.use_long_term)
 
-        self.encode = jax.jit(self._encode)
+        self.encode = jax.jit(self._encode, static_argnames=("pad", "input_mode"))
         self.segment = jax.jit(self._segment, donate_argnums=(1,))
         self.memorize = jax.jit(self._memorize, donate_argnums=(1,),
                                 static_argnames=("as_permanent",))
@@ -76,13 +77,34 @@ class StepFunctions:
 
     # ------------------------------------------------------------------ encode
 
-    def _encode(self, variables, image: jnp.ndarray) -> FrameFeatures:
-        """image [B, H0, W0, 3] -> all query-side features (one backbone pass;
-        mirrors ImageFeatureStore caching — here a single fused graph)."""
+    def _encode(self, variables, image: jnp.ndarray, *, pad=(0, 0, 0, 0),
+                input_mode: str = "nhwc_f32") -> FrameFeatures:
+        """Raw frame -> all query-side features (one backbone pass; mirrors
+        ImageFeatureStore caching — here a single fused graph).
+
+        Uploading the RAW frame and doing layout/pad/normalize on device is a
+        large win over the tunnel: uint8 HWC is 4x fewer bytes than float CHW
+        and the 5MB host-side transpose/copy disappears.
+
+        image: [H, W, 3] uint8 ('hwc_u8'), [3, H, W] float ('chw_f32'), or
+               [B, Hp, Wp, 3] float already padded ('nhwc_f32').
+        pad: static (lw, uw, lh, uh) zero padding applied on device.
+        """
+        if input_mode == "hwc_u8":
+            x = image.astype(jnp.float32) / 255.0
+            x = x[None]
+        elif input_mode == "chw_f32":
+            x = jnp.transpose(image, (1, 2, 0))[None]
+        else:
+            x = image
+        lw, uw, lh, uh = pad
+        if any(pad):
+            x = jnp.pad(x, ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+
         apply = functools.partial(self.model.apply, variables)
-        (f16, f8, f4), pix_feat = apply(image, method="encode_image")
+        (f16, f8, f4), pix_feat = apply(x, method="encode_image")
         key, shrinkage, selection = apply(f16, method="transform_key")
-        return FrameFeatures(f16, f8, f4, pix_feat, key, shrinkage, selection)
+        return FrameFeatures(x, f16, f8, f4, pix_feat, key, shrinkage, selection)
 
     # ----------------------------------------------------------------- reading
 
@@ -160,7 +182,7 @@ class StepFunctions:
 
     # --------------------------------------------------------------- memorize
 
-    def _memorize(self, variables, state: MemoryState, image: jnp.ndarray,
+    def _memorize(self, variables, state: MemoryState,
                   feats: FrameFeatures, selector: jnp.ndarray,
                   is_deep_update: jnp.ndarray, *, as_permanent: bool
                   ) -> MemoryState:
@@ -175,7 +197,7 @@ class StepFunctions:
 
         apply = functools.partial(self.model.apply, variables)
         msk_value, new_sensory, obj_summaries, _ = apply(
-            image, feats.pix_feat, state.sensory, state.last_mask,
+            feats.image, feats.pix_feat, state.sensory, state.last_mask,
             deep_update=is_deep_update, method="encode_mask")
 
         # streaming average accumulate (memory_manager.py:251-271); padded
@@ -184,10 +206,12 @@ class StepFunctions:
         state = state.replace(obj_v=state.obj_v + obj_summaries * sel,
                               sensory=new_sensory)
 
-        key_t = feats.key.reshape(b, hw, ck)
-        shr_t = feats.shrinkage.reshape(b, hw)
-        sel_t = feats.selection.reshape(b, hw, ck)
-        val_t = msk_value.reshape(b, o, hw, cv) * selector[None, :, None, None]
+        buf_dt = state.work_key.dtype
+        key_t = feats.key.reshape(b, hw, ck).astype(buf_dt)
+        shr_t = feats.shrinkage.reshape(b, hw).astype(buf_dt)
+        sel_t = feats.selection.reshape(b, hw, ck).astype(buf_dt)
+        val_t = (msk_value.reshape(b, o, hw, cv)
+                 * selector[None, :, None, None]).astype(buf_dt)
 
         obj_now = selector.astype(bool)  # [O]
 
