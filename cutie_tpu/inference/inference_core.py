@@ -301,6 +301,26 @@ class InferenceCore:
         update_sensory = ((self.curr_ti - self.last_mem_ti)
                           in self.stagger_ti) and (not end)
 
+        # fused fast path: plain propagation frame (no user mask, no commit) —
+        # one device dispatch for encode+segment+conditional-memorize
+        if mask is None and self.engaged and not force_permanent:
+            self.state, prob = self.steps.step_plain(
+                self.variables, self.state, image_d,
+                jnp.asarray(self._selector()), jnp.asarray(update_sensory),
+                jnp.asarray(bool(is_mem_frame)), pad=self.pad,
+                input_mode=input_mode)
+            if is_mem_frame:
+                self._work_count = min(self._work_count + 1, self.ring_frames)
+                self.last_mem_ti = self.curr_ti
+                self._maybe_consolidate()
+            output_prob = prob[0][:, lh:h_pad - uh, lw:w_pad - uw]
+            output_prob = output_prob[:self.object_manager.num_obj + 1]
+            if resize_needed:
+                out = jnp.moveaxis(output_prob, 0, -1)
+                out = bilinear_resize(out, orig_h, orig_w)
+                output_prob = jnp.moveaxis(out, -1, 0)
+            return output_prob
+
         feats = self.steps.encode(self.variables, image_d, pad=self.pad,
                                   input_mode=input_mode)
 

@@ -68,6 +68,11 @@ class StepFunctions:
         self.use_long_term = bool(cfg.use_long_term)
 
         self.encode = jax.jit(self._encode, static_argnames=("pad", "input_mode"))
+        # fused per-frame fast path: encode + segment + conditional memorize in
+        # ONE dispatch (plain propagation frames; cadence flags are traced so a
+        # single compiled graph serves every frame)
+        self.step_plain = jax.jit(self._step_plain, donate_argnums=(1,),
+                                  static_argnames=("pad", "input_mode"))
         self.segment = jax.jit(self._segment, donate_argnums=(1,))
         self.memorize = jax.jit(self._memorize, donate_argnums=(1,),
                                 static_argnames=("as_permanent",))
@@ -105,6 +110,23 @@ class StepFunctions:
         (f16, f8, f4), pix_feat = apply(x, method="encode_image")
         key, shrinkage, selection = apply(f16, method="transform_key")
         return FrameFeatures(x, f16, f8, f4, pix_feat, key, shrinkage, selection)
+
+    def _step_plain(self, variables, state: MemoryState, image: jnp.ndarray,
+                    selector: jnp.ndarray, update_sensory: jnp.ndarray,
+                    do_memorize: jnp.ndarray, *, pad=(0, 0, 0, 0),
+                    input_mode: str = "hwc_u8"):
+        """Fused plain-frame step: segment every frame, memorize only when
+        do_memorize (lax.cond executes one branch on TPU)."""
+        feats = self._encode(variables, image, pad=pad, input_mode=input_mode)
+        state, prob = self._segment(variables, state, feats, selector,
+                                    update_sensory)
+
+        def mem(s):
+            return self._memorize(variables, s, feats, selector,
+                                  jnp.asarray(True), as_permanent=False)
+
+        state = jax.lax.cond(do_memorize, mem, lambda s: s, state)
+        return state, prob
 
     # ----------------------------------------------------------------- reading
 
