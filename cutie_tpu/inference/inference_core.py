@@ -64,8 +64,6 @@ class InferenceCore:
         self.save_aux = cfg.save_aux
         self.max_internal_size = cfg.max_internal_size
         self.flip_aug = cfg.flip_aug
-        if self.flip_aug:
-            raise NotImplementedError("flip_aug lands with the batch=2 step variant")
         self.use_long_term = bool(cfg.use_long_term)
 
         self.curr_ti = -1
@@ -96,6 +94,11 @@ class InferenceCore:
             self.lt_capacity = 8  # dummy tiny buffer (never valid)
 
         self.state: Optional[MemoryState] = None
+        # bucket bookkeeping: objects first seen in the same step share a
+        # bucket (reference kv_memory_store.py:26-40); slot i -> bucket id
+        self._slot_bucket: list = []
+        self._next_bucket = 0
+        self._new_slots: list = []  # slots created by the current step
         self.last_mask_shape = None
         self.pad = None
         # host mirrors of device counters (deterministic)
@@ -114,6 +117,8 @@ class InferenceCore:
         self.last_mem_ti = 0
         self.state = None
         self._perm_n = self._work_count = self._lt_count = 0
+        self._slot_bucket = []
+        self._next_bucket = 0
 
     def clear_non_permanent_memory(self):
         self.curr_ti = -1
@@ -163,13 +168,32 @@ class InferenceCore:
         sel[:self.object_manager.num_obj] = 1.0
         return sel
 
+    def _buckets(self):
+        """(bucket_rep static tuple, bucket_sel [num_buckets, O]) for the read."""
+        o = self.state.sensory.shape[1]
+        if not self._slot_bucket:
+            return (0,), np.ones((1, o), np.float32)
+        order = []
+        groups = {}
+        for slot, b in enumerate(self._slot_bucket):
+            if b not in groups:
+                groups[b] = []
+                order.append(b)
+            groups[b].append(slot)
+        reps = tuple(groups[b][0] for b in order)
+        sel = np.zeros((len(order), o), np.float32)
+        for bi, b in enumerate(order):
+            for slot in groups[b]:
+                sel[bi, slot] = 1.0
+        return reps, sel
+
     def _ensure_state(self, h16: int, w16: int, num_obj: int):
         """Allocate or grow the device state for (resolution, object count)."""
         mc = self.cfg.model
         cap = _obj_capacity(num_obj)
         if self.state is None:
             self.state = init_state(
-                batch=1, max_objects=cap, h=h16, w=w16,
+                batch=2 if self.flip_aug else 1, max_objects=cap, h=h16, w=w16,
                 sensory_dim=mc.sensory_dim, key_dim=mc.key_dim,
                 value_dim=mc.value_dim,
                 num_queries=mc.object_transformer.num_queries,
@@ -187,8 +211,16 @@ class InferenceCore:
         """Combine a (possibly partial) user mask with the prediction using
         mutual exclusivity (inference_core.py:258-300). Host-side numpy.
         Returns padded-slot last_mask [O, Hp, Wp]."""
+        prev_n = len(self._slot_bucket)
         tmp_ids, _ = self.object_manager.add_new_objects(list(objects))
         self._ensure_state(h_pad // 16, w_pad // 16, self.object_manager.num_obj)
+        self._new_slots = []
+        if self.object_manager.num_obj > prev_n:
+            bucket = self._next_bucket
+            self._next_bucket += 1
+            for slot in range(prev_n, self.object_manager.num_obj):
+                self._slot_bucket.append(bucket)
+                self._new_slots.append(slot)
         o = self.state.sensory.shape[1]
 
         mask = np.asarray(mask)
@@ -304,11 +336,13 @@ class InferenceCore:
         # fused fast path: plain propagation frame (no user mask, no commit) —
         # one device dispatch for encode+segment+conditional-memorize
         if mask is None and self.engaged and not force_permanent:
+            bucket_rep, bucket_sel = self._buckets()
             self.state, prob = self.steps.step_plain(
                 self.variables, self.state, image_d,
-                jnp.asarray(self._selector()), jnp.asarray(update_sensory),
+                jnp.asarray(self._selector()), jnp.asarray(bucket_sel),
+                jnp.asarray(update_sensory),
                 jnp.asarray(bool(is_mem_frame)), pad=self.pad,
-                input_mode=input_mode)
+                input_mode=input_mode, bucket_rep=bucket_rep)
             if is_mem_frame:
                 self._work_count = min(self._work_count + 1, self.ring_frames)
                 self.last_mem_ti = self.curr_ti
@@ -329,9 +363,11 @@ class InferenceCore:
             if not self.engaged:
                 log.warning("Trying to segment without any memory!")
                 return jnp.zeros((1, h, w), jnp.float32)
+            bucket_rep, bucket_sel = self._buckets()
             self.state, prob = self.steps.segment(
                 self.variables, self.state, feats,
-                jnp.asarray(self._selector()), jnp.asarray(update_sensory))
+                jnp.asarray(self._selector()), jnp.asarray(update_sensory),
+                jnp.asarray(bucket_sel), bucket_rep=bucket_rep)
             pred_prob_with_bg = prob[0]  # [O+1, Hp, Wp]
 
         if mask is not None:
@@ -348,21 +384,33 @@ class InferenceCore:
             pred_prob_with_bg = jnp.asarray(prob_with_bg_np)
 
         if is_mem_frame or force_permanent:
-            as_permanent = force_permanent or (not self.engaged)
-            if as_permanent:
-                hw = (h_pad // 16) * (w_pad // 16)
+            hw = (h_pad // 16) * (w_pad // 16)
+            if force_permanent or not self.engaged:
+                mode = "all"
+            elif self._new_slots:
+                # objects first seen this step: their tokens become permanent
+                # (reference as_permanent='first' on a fresh bucket)
+                mode = "split"
+            else:
+                mode = "no"
+            if mode in ("all", "split"):
                 if self._perm_n + hw > self.state.perm_key.shape[1]:
                     self.state = grow_perm(self.state, self._perm_n + hw)
                 self._perm_n += hw
-            else:
+            if mode in ("no", "split"):
                 self._work_count = min(self._work_count + 1, self.ring_frames)
+            o_cap = self.state.sensory.shape[1]
+            new_mask = np.zeros((o_cap,), np.float32)
+            for slot in self._new_slots:
+                new_mask[slot] = 1.0
             self.state = self.steps.memorize(
                 self.variables, self.state, feats,
-                jnp.asarray(self._selector()), jnp.asarray(True),
-                as_permanent=as_permanent)
+                jnp.asarray(self._selector()), jnp.asarray(new_mask),
+                jnp.asarray(True), mode=mode)
             self.last_mem_ti = self.curr_ti
-            if not as_permanent:
+            if mode in ("no", "split"):
                 self._maybe_consolidate()
+        self._new_slots = []
 
         # unpad + restore original size
         output_prob = pred_prob_with_bg[:, lh:h_pad - uh, lw:w_pad - uw]
@@ -379,6 +427,7 @@ class InferenceCore:
     def delete_objects(self, objects: List[int]) -> None:
         """Remove objects from bookkeeping + memory (inference_core.py:330-335)."""
         old_order = {obj.id: tmp for obj, tmp in self.object_manager.obj_to_tmp_id.items()}
+        old_buckets = list(self._slot_bucket)
         self.object_manager.delete_objects(objects)
         if self.state is None:
             return
@@ -389,6 +438,7 @@ class InferenceCore:
             obj = self.object_manager.tmp_id_to_obj[tmp_id]
             idx.append(old_order[obj.id] - 1)
         keep = len(idx)
+        self._slot_bucket = [old_buckets[i] for i in idx if i < len(old_buckets)]
         idx = np.asarray(idx + [0] * (o - keep), np.int32)
         mask = np.asarray([1.0] * keep + [0.0] * (o - keep), np.float32)
         self.state = _reorder_objects(self.state, jnp.asarray(idx), jnp.asarray(mask))

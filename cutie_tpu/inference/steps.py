@@ -56,7 +56,8 @@ class StepFunctions:
 
     @classmethod
     def get(cls, model: CUTIE, cfg) -> "StepFunctions":
-        key = (id(model), int(cfg.top_k), bool(cfg.use_long_term))
+        key = (id(model), int(cfg.top_k), bool(cfg.use_long_term),
+               bool(cfg.get("flip_aug", False)))
         if key not in cls._cache:
             cls._cache[key] = cls(model, cfg)
         return cls._cache[key]
@@ -66,16 +67,19 @@ class StepFunctions:
         self.cfg = cfg
         self.top_k = cfg.top_k
         self.use_long_term = bool(cfg.use_long_term)
+        self.flip_aug = bool(cfg.get("flip_aug", False))
 
         self.encode = jax.jit(self._encode, static_argnames=("pad", "input_mode"))
         # fused per-frame fast path: encode + segment + conditional memorize in
         # ONE dispatch (plain propagation frames; cadence flags are traced so a
         # single compiled graph serves every frame)
-        self.step_plain = jax.jit(self._step_plain, donate_argnums=(1,),
-                                  static_argnames=("pad", "input_mode"))
-        self.segment = jax.jit(self._segment, donate_argnums=(1,))
+        self.step_plain = jax.jit(
+            self._step_plain, donate_argnums=(1,),
+            static_argnames=("pad", "input_mode", "bucket_rep"))
+        self.segment = jax.jit(self._segment, donate_argnums=(1,),
+                               static_argnames=("bucket_rep",))
         self.memorize = jax.jit(self._memorize, donate_argnums=(1,),
-                                static_argnames=("as_permanent",))
+                                static_argnames=("mode",))
         self.set_last_mask = jax.jit(self._set_last_mask, donate_argnums=(0,))
         self.consolidate = jax.jit(self._consolidate, donate_argnums=(1,),
                                    static_argnames=("n_candidate_frames", "lt_keep"))
@@ -105,6 +109,9 @@ class StepFunctions:
         lw, uw, lh, uh = pad
         if any(pad):
             x = jnp.pad(x, ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+        if self.flip_aug:
+            # batch=2: original + horizontal flip (inference_core.py:234-235)
+            x = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
 
         apply = functools.partial(self.model.apply, variables)
         (f16, f8, f4), pix_feat = apply(x, method="encode_image")
@@ -112,18 +119,21 @@ class StepFunctions:
         return FrameFeatures(x, f16, f8, f4, pix_feat, key, shrinkage, selection)
 
     def _step_plain(self, variables, state: MemoryState, image: jnp.ndarray,
-                    selector: jnp.ndarray, update_sensory: jnp.ndarray,
-                    do_memorize: jnp.ndarray, *, pad=(0, 0, 0, 0),
-                    input_mode: str = "hwc_u8"):
+                    selector: jnp.ndarray, bucket_sel: jnp.ndarray,
+                    update_sensory: jnp.ndarray, do_memorize: jnp.ndarray, *,
+                    pad=(0, 0, 0, 0), input_mode: str = "hwc_u8",
+                    bucket_rep: Tuple[int, ...] = (0,)):
         """Fused plain-frame step: segment every frame, memorize only when
         do_memorize (lax.cond executes one branch on TPU)."""
         feats = self._encode(variables, image, pad=pad, input_mode=input_mode)
         state, prob = self._segment(variables, state, feats, selector,
-                                    update_sensory)
+                                    update_sensory, bucket_sel,
+                                    bucket_rep=bucket_rep)
 
         def mem(s):
             return self._memorize(variables, s, feats, selector,
-                                  jnp.asarray(True), as_permanent=False)
+                                  jnp.zeros_like(selector), jnp.asarray(True),
+                                  mode="no")
 
         state = jax.lax.cond(do_memorize, mem, lambda s: s, state)
         return state, prob
@@ -131,9 +141,22 @@ class StepFunctions:
     # ----------------------------------------------------------------- reading
 
     def _read_memory(self, variables, state: MemoryState, feats: FrameFeatures,
-                     selector: jnp.ndarray) -> Tuple[jnp.ndarray, MemoryState]:
+                     selector: jnp.ndarray, bucket_rep: Tuple[int, ...],
+                     bucket_sel: jnp.ndarray) -> Tuple[jnp.ndarray, MemoryState]:
         """Top-k attention read over [perm | lt | work] (memory_manager.py:112-208).
-        Returns (pixel memory readout [B, O, h, w, Cv], state with updated usage)."""
+
+        Buckets (objects first seen in the same frame — kv_memory_store.py:26-40)
+        each get their own affinity, restricted to the tokens valid for that
+        bucket (per-object validity masks replace the reference's per-bucket
+        tensor copies). Single-bucket videos compile to exactly one attention
+        pass. Usage counters are shared across buckets (documented deviation:
+        the reference keeps a use/life pair per bucket copy; the shared
+        counters preserve the usage RANKING that consolidation/eviction need).
+
+        bucket_rep: static tuple of representative object slots per bucket.
+        bucket_sel: [num_buckets, O] — which objects read from which bucket.
+        Returns (pixel memory readout [B, O, h, w, Cv], state with usage).
+        """
         b, h, w, ck = feats.key.shape
         o = state.sensory.shape[1]
         hw = h * w
@@ -149,37 +172,51 @@ class StepFunctions:
         work_tok_valid = jnp.repeat(ring_valid, hw)                     # [F*HW]
         perm_valid = jnp.arange(pcap) < state.perm_n                    # [Pcap]
         lt_valid = jnp.arange(lcap) < state.lt_count                    # [L]
+        global_valid = jnp.concatenate([perm_valid, lt_valid, work_tok_valid])
 
         mem_key = jnp.concatenate(
             [state.perm_key, state.lt_key, state.work_key.reshape(b, f * hw, ck)], axis=1)
         mem_shrink = jnp.concatenate(
             [state.perm_shrink, state.lt_shrink, state.work_shrink.reshape(b, f * hw)],
             axis=1)
-        valid = jnp.concatenate([perm_valid, lt_valid, work_tok_valid])[None]  # [1, N]
-
-        sim = get_similarity(mem_key, mem_shrink, qk, qe, valid=valid)
-        affinity, usage = topk_softmax(sim, self.top_k,
-                                       return_usage=self.use_long_term)
-
-        if self.use_long_term:
-            # usage bookkeeping (kv_memory_store.py:151-162)
-            lt_usage = usage[:, pcap:pcap + lcap]
-            work_usage = usage[:, pcap + lcap:].reshape(b, f, hw)
-            state = state.replace(
-                work_use=state.work_use + work_usage,
-                work_life=state.work_life + ring_valid[None, :, None].astype(jnp.float32),
-                lt_use=state.lt_use + lt_usage,
-                lt_life=state.lt_life + lt_valid[None].astype(jnp.float32),
-            )
-
         mem_value = jnp.concatenate(
             [state.perm_value, state.lt_value,
              state.work_value.reshape(b, o, f * hw, cv)], axis=2)  # [B,O,N,Cv]
-        pixel_readout = readout(affinity, mem_value)                # [B,O,HW,Cv]
+
+        sim = get_similarity(mem_key, mem_shrink, qk, qe)  # unmasked, once
+
+        pixel_readout = jnp.zeros((b, o, hw, cv), jnp.float32)
+        for bi, rep in enumerate(bucket_rep):
+            obj_tok_valid = jnp.concatenate([
+                state.perm_obj_valid[rep],
+                state.lt_obj_valid[rep],
+                jnp.repeat(state.work_obj_valid[rep], hw),
+            ])
+            valid_b = (global_valid & obj_tok_valid)[None]  # [1, N]
+            sim_b = jnp.where(valid_b[:, None, :], sim, -1e30)
+            affinity, usage = topk_softmax(sim_b, self.top_k,
+                                           return_usage=self.use_long_term)
+            if self.use_long_term:
+                # usage bookkeeping (kv_memory_store.py:151-162)
+                lt_usage = usage[:, pcap:pcap + lcap]
+                work_usage = usage[:, pcap + lcap:].reshape(b, f, hw)
+                life_w = (ring_valid[None, :, None]
+                          & state.work_obj_valid[rep][None, :, None])
+                life_l = (lt_valid & state.lt_obj_valid[rep])[None]
+                state = state.replace(
+                    work_use=state.work_use + work_usage,
+                    work_life=state.work_life + life_w.astype(jnp.float32),
+                    lt_use=state.lt_use + lt_usage,
+                    lt_life=state.lt_life + life_l.astype(jnp.float32),
+                )
+            r = readout(affinity, mem_value)  # [B,O,HW,Cv]
+            pixel_readout = pixel_readout + (
+                r * bucket_sel[bi][None, :, None, None])
         return pixel_readout.reshape(b, o, h, w, cv), state
 
     def _segment(self, variables, state: MemoryState, feats: FrameFeatures,
-                 selector: jnp.ndarray, update_sensory: jnp.ndarray
+                 selector: jnp.ndarray, update_sensory: jnp.ndarray,
+                 bucket_sel: jnp.ndarray, *, bucket_rep: Tuple[int, ...] = (0,)
                  ) -> Tuple[MemoryState, jnp.ndarray]:
         """Full read + object transformer + decode (inference_core.py:123-170).
 
@@ -187,30 +224,58 @@ class StepFunctions:
         update_sensory: traced bool.
         Returns (state, prob_with_bg [B, O+1, H0, W0])."""
         apply = functools.partial(self.model.apply, variables)
-        pixel_readout, state = self._read_memory(variables, state, feats, selector)
+        pixel_readout, state = self._read_memory(variables, state, feats,
+                                                 selector, bucket_rep, bucket_sel)
 
-        fused = apply(feats.pix_feat, pixel_readout, state.sensory, state.last_mask,
-                      method="pixel_fusion")
+        # pixel fusion + object transformer run PER BUCKET like the reference
+        # (memory_manager.py:183-195): the others-mask and the fg/bg attention
+        # aggregation only see the bucket's own objects. Single-bucket videos
+        # compile to exactly one pass.
         obj_mem = state.obj_v[:, :, None]  # T=1 (streaming average)
+        mem_readout = None
+        for bi in range(len(bucket_rep)):
+            bsel = bucket_sel[bi]
+            last_mask_b = state.last_mask * bsel[None, :, None, None]
+            fused_b = apply(feats.pix_feat, pixel_readout, state.sensory,
+                            last_mask_b, method="pixel_fusion")
+            sel_bb = jnp.broadcast_to(bsel[None], state.sensory.shape[:2])
+            r_b, _aux = apply(fused_b, obj_mem, selector=sel_bb,
+                              method="readout_query")
+            r_b = r_b * bsel[None, :, None, None, None]
+            mem_readout = r_b if mem_readout is None else mem_readout + r_b
         sel_b = jnp.broadcast_to(selector[None], state.sensory.shape[:2])
-        mem_readout, _aux = apply(fused, obj_mem, selector=sel_b,
-                                  method="readout_query")
         new_sensory, _logits, prob = apply(
             (feats.f16, feats.f8, feats.f4), mem_readout, state.sensory,
             selector=sel_b, update_sensory=update_sensory, method="segment")
-        state = state.replace(sensory=new_sensory,
-                              last_mask=prob[:, 1:].astype(jnp.float32))
+        if self.flip_aug:
+            # average original + flipped predictions; keep per-orientation
+            # last_mask (inference_core.py:162-167,303-305)
+            prob = 0.5 * (prob[0:1] + prob[1:2, :, :, ::-1])
+            last = prob[:, 1:].astype(jnp.float32)
+            last_mask = jnp.concatenate([last, last[:, :, :, ::-1]], axis=0)
+        else:
+            last_mask = prob[:, 1:].astype(jnp.float32)
+        state = state.replace(sensory=new_sensory, last_mask=last_mask)
         return state, prob
 
     # --------------------------------------------------------------- memorize
 
     def _memorize(self, variables, state: MemoryState,
                   feats: FrameFeatures, selector: jnp.ndarray,
-                  is_deep_update: jnp.ndarray, *, as_permanent: bool
-                  ) -> MemoryState:
+                  new_obj_mask: jnp.ndarray, is_deep_update: jnp.ndarray, *,
+                  mode: str) -> MemoryState:
         """Encode state.last_mask into all memory stores
         (inference_core.py:71-121 + memory_manager.py:210-296, FIFO included;
-        LT consolidation is a separate host-dispatched call)."""
+        LT consolidation is a separate host-dispatched call).
+
+        mode: 'all'   — everything permanent (force_permanent / first frame);
+              'no'    — ring insert only (regular memory frame);
+              'split' — objects first seen THIS frame get their tokens in
+                        permanent memory (the reference's as_permanent='first'
+                        for a freshly-created bucket, kv_memory_store.py:126-129)
+                        while existing objects insert into the ring.
+        new_obj_mask: [O] 1 for objects whose first memory frame this is
+                      (only used by 'split')."""
         b, h, w, ck = feats.key.shape
         o = state.sensory.shape[1]
         hw = h * w
@@ -235,9 +300,14 @@ class StepFunctions:
         val_t = (msk_value.reshape(b, o, hw, cv)
                  * selector[None, :, None, None]).astype(buf_dt)
 
-        obj_now = selector.astype(bool)  # [O]
+        if mode == "all":
+            perm_objs = selector.astype(bool)
+        elif mode == "split":
+            perm_objs = new_obj_mask.astype(bool)
+        ring_objs = (selector.astype(bool) if mode == "no"
+                     else selector.astype(bool) & ~new_obj_mask.astype(bool))
 
-        if as_permanent:
+        if mode in ("all", "split"):
             start = state.perm_n
             state = state.replace(
                 perm_key=jax.lax.dynamic_update_slice(state.perm_key, key_t,
@@ -248,10 +318,11 @@ class StepFunctions:
                                                         (0, 0, start, 0)),
                 perm_obj_valid=jax.lax.dynamic_update_slice(
                     state.perm_obj_valid,
-                    jnp.broadcast_to(obj_now[:, None], (o, hw)), (0, start)),
+                    jnp.broadcast_to(perm_objs[:, None], (o, hw)), (0, start)),
                 perm_n=state.perm_n + hw,
             )
-            return state
+            if mode == "all":
+                return state
 
         # ring insert; overwrites the oldest slot when full (non-LT FIFO,
         # memory_manager.py:296). In LT mode the host consolidates before the
@@ -274,7 +345,7 @@ class StepFunctions:
             work_sel=upd(state.work_sel, sel_t),
             work_value=upd(state.work_value, val_t, 2),
             work_obj_valid=jax.lax.dynamic_update_slice(
-                state.work_obj_valid, obj_now[:, None], (0, slot)),
+                state.work_obj_valid, ring_objs[:, None], (0, slot)),
             # fresh usage counters for the (re)used slot (kv_memory_store.py:132-134)
             work_use=upd(state.work_use, jnp.zeros_like(shr_t, jnp.float32)),
             work_life=upd(state.work_life,
@@ -286,7 +357,10 @@ class StepFunctions:
 
     def _set_last_mask(self, state: MemoryState, prob_no_bg: jnp.ndarray) -> MemoryState:
         """Overwrite last_mask (used after user-provided masks merge)."""
-        return state.replace(last_mask=prob_no_bg.astype(jnp.float32))
+        last = prob_no_bg.astype(jnp.float32)
+        if self.flip_aug:
+            last = jnp.concatenate([last, last[:, :, :, ::-1]], axis=0)
+        return state.replace(last_mask=last)
 
     # ------------------------------------------------------------ consolidation
 

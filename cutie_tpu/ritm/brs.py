@@ -1,0 +1,222 @@
+"""f-BRS: online scale/bias optimization for click consistency.
+
+Behavioral parity targets: reference
+gui/ritm/inference/predictors/{brs,brs_functors,brs_losses}.py —
+HRNetFeatureBRSPredictor (insertion mode 'A': scale/bias on the aggregated
+HRNet features before the OCR heads), ScaleBiasOptimizer driven by scipy
+fmin_l_bfgs_b (maxfun 20), BRSMaskLoss (squared click-consistency error),
+early termination on satisfied clicks or converged IoU.
+
+The loss+gradient evaluation is one jitted jax.value_and_grad call over the
+cached backbone features; scipy L-BFGS runs on host.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import fmin_l_bfgs_b
+
+from cutie_tpu.ritm.inference import Clicker, Predictor
+
+DEFAULT_LBFGS_PARAMS = {"m": 20, "factr": 0, "pgtol": 1e-8, "maxfun": 20,
+                        "maxiter": 40}
+
+
+class ScaleBiasOptimizer:
+    """(brs_functors.py BaseOptimizer + ScaleBiasOptimizer)."""
+
+    def __init__(self, optimizer_params=None, prob_thresh=0.49, reg_weight=1e-3,
+                 min_iou_diff=0.01, with_flip=False, flip_average=False,
+                 scale_act: Optional[str] = None, reg_bias_weight=10.0):
+        self.optimizer_params = dict(DEFAULT_LBFGS_PARAMS)
+        if optimizer_params:
+            self.optimizer_params.update(optimizer_params)
+        self.prob_thresh = prob_thresh
+        self.reg_weight = reg_weight
+        self.min_iou_diff = min_iou_diff
+        self.with_flip = with_flip
+        self.flip_average = flip_average
+        self.scale_act = scale_act
+        self.reg_bias_weight = reg_bias_weight
+        self.best_prediction = None
+        self._eval = None
+        self._best_loss = None
+        self._last_mask = None
+
+    def init_click(self, eval_fn):
+        """eval_fn(x_flat) -> (loss, grad, logits, f_max_pos, f_max_neg)."""
+        self.best_prediction = None
+        self._eval = eval_fn
+        self._best_loss = None
+        self._last_mask = None
+
+    def __call__(self, x):
+        loss, grad, logits, f_max_pos, f_max_neg = self._eval(x)
+        f_val = float(loss)
+        if self.best_prediction is None or f_val < self._best_loss:
+            self.best_prediction = np.asarray(logits)
+            self._best_loss = f_val
+
+        # clicks already satisfied -> zero gradient stops L-BFGS
+        if (float(f_max_pos) < (1 - self.prob_thresh)
+                and float(f_max_neg) < self.prob_thresh):
+            return [f_val, np.zeros_like(x)]
+
+        current_mask = np.asarray(logits) > 0  # logit>0 == prob>0.5
+        if self._last_mask is not None and self.min_iou_diff > 0:
+            inter = np.logical_and(current_mask, self._last_mask).sum()
+            union = np.logical_or(current_mask, self._last_mask).sum()
+            if union > 0 and inter / union > 1 - self.min_iou_diff:
+                return [f_val, np.zeros_like(x)]
+        self._last_mask = current_mask
+
+        return [f_val, np.asarray(grad, np.float64)]
+
+    def unpack_scale_bias(self, x: jnp.ndarray, bs: int):
+        scale, bias = jnp.split(x, 2)
+        reg = self.reg_weight * (jnp.sum(scale ** 2)
+                                 + self.reg_bias_weight * jnp.sum(bias ** 2))
+        if self.scale_act == "tanh":
+            scale = jnp.tanh(scale)
+        elif self.scale_act == "sin":
+            scale = jnp.sin(scale)
+        return 1 + scale.reshape(bs, 1, 1, -1), bias.reshape(bs, 1, 1, -1), reg
+
+
+def brs_mask_loss(result, pos_mask, neg_mask, eps=1e-5):
+    """(brs_losses.py BRSMaskLoss). result/masks: [B, H, W]."""
+    pos_diff = (1 - result) * pos_mask
+    pos_target = jnp.sum(pos_diff ** 2) / (jnp.sum(pos_mask) + eps)
+    neg_diff = result * neg_mask
+    neg_target = jnp.sum(neg_diff ** 2) / (jnp.sum(neg_mask) + eps)
+    loss = pos_target + neg_target
+    return loss, jnp.max(jnp.abs(pos_diff)), jnp.max(jnp.abs(neg_diff))
+
+
+class HRNetFeatureBRSPredictor(Predictor):
+    """(brs.py:157-246, insertion mode 'A'). NoBRS falls back automatically
+    when no optimization is needed (first click)."""
+
+    def __init__(self, model, variables, *, opt_functor: ScaleBiasOptimizer,
+                 optimize_after_n_clicks=1, **kwargs):
+        super().__init__(model, variables, **kwargs)
+        self.opt_functor = opt_functor
+        self.optimize_after_n_clicks = optimize_after_n_clicks
+        self.num_channels = sum(k * model.width for k in (1, 2, 4, 8))
+        self.opt_data = None
+        self.input_data = None
+        self._head_input = jax.jit(functools.partial(
+            model.apply, method="get_head_input"))
+        self._loss_grad = jax.jit(self._loss_grad_fn,
+                                  static_argnames=("out_h", "out_w", "bs"))
+
+    def set_input_image(self, image):
+        super().set_input_image(image)
+        self.opt_data = None
+        self.input_data = None
+
+    def get_states(self):
+        states = super().get_states()
+        states["opt_data"] = None if self.opt_data is None else self.opt_data.copy()
+        return states
+
+    def set_states(self, states):
+        super().set_states(states)
+        self.opt_data = states.get("opt_data")
+
+    # ------------------------------------------------------------- brs core
+
+    def _loss_grad_fn(self, variables, feats, pos_mask, neg_mask, x, *,
+                      out_h, out_w, bs):
+        def total(xf):
+            scale, bias, reg = self.opt_functor.unpack_scale_bias(xf, bs)
+            if self.with_flip:
+                scale = jnp.concatenate([scale, scale], axis=0)
+                bias = jnp.concatenate([bias, bias], axis=0)
+            mod = feats * scale + bias
+            logits = self.model.apply(variables, mod, out_h, out_w,
+                                      method="head_from_feats")[..., 0]
+            result = jax.nn.sigmoid(logits)
+            pm, nm = pos_mask, neg_mask
+            if self.with_flip and self.opt_functor.flip_average:
+                n = result.shape[0] // 2
+                result = 0.5 * (result[:n] + result[n:, :, ::-1])
+                pm, nm = pm[:n], nm[:n]
+            loss, fmp, fmn = brs_mask_loss(result, pm, nm)
+            return loss + reg, (logits, fmp, fmn)
+
+        (loss, (logits, fmp, fmn)), grad = jax.value_and_grad(
+            total, has_aux=True)(x)
+        return loss, grad, logits, fmp, fmn
+
+    def _clicks_maps(self, clicks_lists, h, w, radius=1):
+        """(brs.py:23-43)"""
+        n = len(clicks_lists)
+        pos = np.zeros((n, h, w), np.float32)
+        neg = np.zeros((n, h, w), np.float32)
+        for li, clicks in enumerate(clicks_lists):
+            for click in clicks:
+                y, x = int(round(click.coords[0])), int(round(click.coords[1]))
+                y1, x1 = max(0, y - radius), max(0, x - radius)
+                tgt = pos if click.is_positive else neg
+                tgt[li, y1:y + radius + 1, x1:x + radius + 1] = 1.0
+        return pos, neg
+
+    def _run_model(self, image_nd, points_nd, clicks_lists=None):
+        if clicks_lists is None:
+            return super()._run_model(image_nd, points_nd)
+        num_clicks = len(clicks_lists[0])
+        b, c, h, w = image_nd.shape
+        bs = b // 2 if self.with_flip else b
+        # click maps for all rows (flipped rows carry flipped click coords,
+        # brs.py:23-43 over the full clicks_lists)
+        pos_mask, neg_mask = self._clicks_maps(clicks_lists, h, w)
+
+        if (self.opt_data is None
+                or self.opt_data.shape[0] != bs * 2 * self.num_channels):
+            self.opt_data = np.zeros((bs * 2 * self.num_channels,), np.float32)
+
+        hp = int(math.ceil(h / 32) * 32)
+        wp = int(math.ceil(w / 32) * 32)
+        img = np.zeros((b, hp, wp, c), np.float32)
+        img[:, :h, :w] = np.transpose(image_nd, (0, 2, 3, 1))
+        k = points_nd.shape[1] // 2
+        kp = max(1, 1 << (k - 1).bit_length())
+        pts = np.full((b, 2 * kp, 3), -1.0, np.float32)
+        pts[:, :k] = points_nd[:, :k]
+        pts[:, kp:kp + k] = points_nd[:, k:]
+
+        if (num_clicks <= (self.net_clicks_limit or 1 << 30)
+                or self.input_data is None):
+            self.input_data = self._head_input(self.variables, img, pts)
+
+        pos_p = np.zeros((b, hp, wp), np.float32)
+        neg_p = np.zeros((b, hp, wp), np.float32)
+        pos_p[:, :h, :w] = pos_mask
+        neg_p[:, :h, :w] = neg_mask
+
+        def eval_fn(x):
+            return self._loss_grad(self.variables, self.input_data,
+                                   jnp.asarray(pos_p), jnp.asarray(neg_p),
+                                   jnp.asarray(x, jnp.float32),
+                                   out_h=hp, out_w=wp, bs=bs)
+
+        self.opt_functor.init_click(eval_fn)
+        if num_clicks > self.optimize_after_n_clicks:
+            opt_result = fmin_l_bfgs_b(func=self.opt_functor, x0=self.opt_data,
+                                       **self.opt_functor.optimizer_params)
+            self.opt_data = opt_result[0].astype(np.float32)
+
+        if self.opt_functor.best_prediction is not None:
+            logits = self.opt_functor.best_prediction
+        else:
+            _, _, logits, _, _ = eval_fn(self.opt_data)
+            logits = np.asarray(logits)
+        # [B, Hp, Wp] -> [B, 1, H, W] (flip inverse happens in the transform
+        # cascade like the reference)
+        return logits[:, None, :h, :w]

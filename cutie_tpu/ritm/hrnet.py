@@ -182,10 +182,37 @@ class SpatialOCR(nn.Module):
 
 class HighResolutionNet(nn.Module):
     """(hrnet_ocr.py:155-398). Input NHWC image + optional stride-2 additional
-    features added after conv1/bn1/relu. Returns (instances, instances_aux)."""
+    features added after conv1/bn1/relu. Returns (instances, instances_aux).
+
+    Split into backbone ('bb': stem..multi-resolution aggregation) and head
+    ('hd': aux/OCR/cls) submodules so f-BRS can cache backbone features and
+    rerun only the head under its scale/bias optimization
+    (gui/ritm/inference/predictors/brs.py:157-227). The RITM weight converter
+    strips the 'bb'/'hd' path segments."""
     width: int = 18
     num_classes: int = 1
     ocr_width: int = 64
+    small: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.bb = _HRNetBackbone(self.width, self.small, dtype=self.dtype)
+        self.hd = _HRNetHead(self.width, self.num_classes, self.ocr_width,
+                             dtype=self.dtype)
+
+    def __call__(self, x: jnp.ndarray,
+                 additional_features: Optional[jnp.ndarray] = None):
+        return self.hd(self.bb(x, additional_features))
+
+    def backbone(self, x, additional_features=None):
+        return self.bb(x, additional_features)
+
+    def head(self, feats):
+        return self.hd(feats)
+
+
+class _HRNetBackbone(nn.Module):
+    width: int = 18
     small: bool = False
     dtype: Dtype = jnp.float32
 
@@ -253,8 +280,19 @@ class HighResolutionNet(nn.Module):
         h, wd = x_list[0].shape[-3], x_list[0].shape[-2]
         ups = [x_list[0]] + [bilinear_resize_align_corners(t, h, wd)
                              for t in x_list[1:]]
-        feats = jnp.concatenate(ups, axis=-1)
-        last_inp = sum(chans4)
+        return jnp.concatenate(ups, axis=-1)
+
+
+class _HRNetHead(nn.Module):
+    width: int = 18
+    num_classes: int = 1
+    ocr_width: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray):
+        dt = self.dtype
+        last_inp = sum(k * self.width for k in (1, 2, 4, 8))
 
         if self.ocr_width > 0:
             ocr_mid = 2 * self.ocr_width

@@ -423,7 +423,8 @@ class Predictor:
         image_nd, clicks_lists, _changed = self._apply_transforms(
             input_image, [clicks_list])
         points_nd = self._get_points_nd(clicks_lists)
-        pred_logits = self._run_model(image_nd, points_nd)
+        pred_logits = self._run_model(image_nd, points_nd,
+                                      clicks_lists=clicks_lists)
 
         prediction = _resize_chw(pred_logits, image_nd.shape[2], image_nd.shape[3])
         for t in reversed(self.transforms):
@@ -435,9 +436,10 @@ class Predictor:
         self.prev_prediction = prediction
         return prediction
 
-    def _run_model(self, image_nd, points_nd) -> np.ndarray:
+    def _run_model(self, image_nd, points_nd, clicks_lists=None) -> np.ndarray:
         """Pad image to multiples of 32 and clicks to powers of two so the jit
-        sees a handful of shapes; crop the logits back."""
+        sees a handful of shapes; crop the logits back. clicks_lists is used
+        by the f-BRS subclass."""
         b, c, h, w = image_nd.shape
         hp = int(math.ceil(h / 32) * 32)
         wp = int(math.ceil(w / 32) * 32)
@@ -486,6 +488,32 @@ class Predictor:
         for s, t in zip(states["transform_states"], self.transforms):
             t.set_state(s)
         self.prev_prediction = states["prev_prediction"]
+
+
+def get_predictor(model, variables, brs_mode: str = "NoBRS", *,
+                  prob_thresh=0.49, with_flip=True, zoom_in_params=None,
+                  predictor_params=None, brs_opt_func_params=None,
+                  lbfgs_params=None):
+    """Predictor factory (gui/ritm/inference/predictors/__init__.py:8-75).
+    brs_mode: 'NoBRS' | 'f-BRS-A' | 'f-BRS-B' | 'f-BRS-C' (the f-BRS modes all
+    map to the HRNet feature-insertion predictor, like the reference's
+    HRNetModel path)."""
+    zoom_in = ZoomIn(**zoom_in_params) if zoom_in_params is not None else None
+    params = {"with_flip": with_flip, "zoom_in": zoom_in}
+    if predictor_params:
+        params.update(predictor_params)
+
+    if brs_mode == "NoBRS":
+        return Predictor(model, variables, **params)
+    if brs_mode.startswith("f-BRS"):
+        from cutie_tpu.ritm.brs import HRNetFeatureBRSPredictor, ScaleBiasOptimizer
+        params.setdefault("net_clicks_limit", 8)
+        opt_functor = ScaleBiasOptimizer(
+            optimizer_params=lbfgs_params, prob_thresh=prob_thresh,
+            with_flip=with_flip, **(brs_opt_func_params or {}))
+        return HRNetFeatureBRSPredictor(model, variables,
+                                        opt_functor=opt_functor, **params)
+    raise NotImplementedError(brs_mode)
 
 
 # --------------------------------------------------------------- controller
@@ -560,10 +588,19 @@ class InteractiveController:
         if predictor_params is not None:
             self.predictor_params = predictor_params
         params = dict(self.predictor_params)
+        brs_mode = params.pop("brs_mode", "NoBRS")
         zoom_in_params = params.pop("zoom_in_params", None)
-        zoom_in = ZoomIn(**zoom_in_params) if zoom_in_params is not None else None
-        self.predictor = Predictor(self.model, self.variables, zoom_in=zoom_in,
-                                   **params)
+        inner = params.pop("predictor_params", None)
+        brs_opt_func_params = params.pop("brs_opt_func_params", None)
+        lbfgs_params = params.pop("lbfgs_params", None)
+        self.predictor = get_predictor(
+            self.model, self.variables, brs_mode,
+            prob_thresh=params.pop("prob_thresh", 0.49),
+            with_flip=params.pop("with_flip", True),
+            zoom_in_params=zoom_in_params,
+            predictor_params={**params, **(inner or {})},
+            brs_opt_func_params=brs_opt_func_params,
+            lbfgs_params=lbfgs_params)
         if self.image is not None:
             self.predictor.set_input_image(self.image)
 

@@ -69,9 +69,13 @@ class ClickController:
     """GUI-facing click controller (gui/click_controller.py). NoBRS mode;
     f-BRS online optimization is not yet implemented."""
 
-    def __init__(self, checkpoint_path: Optional[str], max_size: int = 800):
+    def __init__(self, checkpoint_path: Optional[str], max_size: int = 800,
+                 brs_mode: str = "f-BRS-B"):
         model, variables = load_is_model(checkpoint_path)
+        # mirrors the GUI's predictor params (gui/click_controller.py:10-33)
         predictor_params = {
+            "brs_mode": brs_mode,
+            "prob_thresh": 0.5,
             "net_clicks_limit": 8,
             "max_size": max_size,
             "with_flip": True,
@@ -80,6 +84,8 @@ class ClickController:
                 "target_size": 480,
                 "expansion_ratio": 1.4,
             },
+            "brs_opt_func_params": {"min_iou_diff": 1e-3},
+            "lbfgs_params": {"maxfun": 20},
         }
         self.controller = InteractiveController(model, variables, predictor_params)
         self.anchored = False

@@ -42,6 +42,8 @@ def _candidates(path: Tuple[str, ...]) -> List[Tuple[str, str]]:
         out_options = [o + v for o in out_options for v in variants]
 
     for s in segs:
+        if s in ("bb", "hd"):  # backbone/head wrapper modules (flax-only split)
+            continue
         m = re.fullmatch(r"(stage\d)_(\d+)", s)
         if m:
             extend_all([m.group(1), m.group(2)])

