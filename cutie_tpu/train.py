@@ -120,7 +120,11 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
                      and cfg.get("single_object_pretraining", True))
     model = CUTIE(cfg, single_object=single_object)
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # DP mesh over as many devices as the local batch divides across
+    import math as _math
+    n_dev = _math.gcd(stage_cfg.batch_size // jax.process_count(),
+                      len(jax.local_devices())) * jax.process_count()
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
     trainer = Trainer(cfg=cfg, stage_cfg=stage_cfg, model=model,
                       variables=variables, mesh=mesh)
     if cfg.checkpoint is not None and stage == "main_training":
