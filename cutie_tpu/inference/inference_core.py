@@ -335,7 +335,8 @@ class InferenceCore:
 
         # fused fast path: plain propagation frame (no user mask, no commit) —
         # one device dispatch for encode+segment+conditional-memorize
-        if mask is None and self.engaged and not force_permanent:
+        if (mask is None and self.engaged and not force_permanent
+                and not self.save_aux):
             bucket_rep, bucket_sel = self._buckets()
             self.state, prob = self.steps.step_plain(
                 self.variables, self.state, image_d,
@@ -364,10 +365,14 @@ class InferenceCore:
                 log.warning("Trying to segment without any memory!")
                 return jnp.zeros((1, h, w), jnp.float32)
             bucket_rep, bucket_sel = self._buckets()
-            self.state, prob = self.steps.segment(
+            seg_out = self.steps.segment(
                 self.variables, self.state, feats,
                 jnp.asarray(self._selector()), jnp.asarray(update_sensory),
                 jnp.asarray(bucket_sel), bucket_rep=bucket_rep)
+            if self.save_aux:
+                self.state, prob, self.aux = seg_out
+            else:
+                self.state, prob = seg_out
             pred_prob_with_bg = prob[0]  # [O+1, Hp, Wp]
 
         if mask is not None:

@@ -57,7 +57,7 @@ class StepFunctions:
     @classmethod
     def get(cls, model: CUTIE, cfg) -> "StepFunctions":
         key = (id(model), int(cfg.top_k), bool(cfg.use_long_term),
-               bool(cfg.get("flip_aug", False)))
+               bool(cfg.get("flip_aug", False)), bool(cfg.get("save_aux", False)))
         if key not in cls._cache:
             cls._cache[key] = cls(model, cfg)
         return cls._cache[key]
@@ -68,6 +68,7 @@ class StepFunctions:
         self.top_k = cfg.top_k
         self.use_long_term = bool(cfg.use_long_term)
         self.flip_aug = bool(cfg.get("flip_aug", False))
+        self.save_aux = bool(cfg.get("save_aux", False))
 
         self.encode = jax.jit(self._encode, static_argnames=("pad", "input_mode"))
         # fused per-frame fast path: encode + segment + conditional memorize in
@@ -126,9 +127,10 @@ class StepFunctions:
         """Fused plain-frame step: segment every frame, memorize only when
         do_memorize (lax.cond executes one branch on TPU)."""
         feats = self._encode(variables, image, pad=pad, input_mode=input_mode)
-        state, prob = self._segment(variables, state, feats, selector,
-                                    update_sensory, bucket_sel,
-                                    bucket_rep=bucket_rep)
+        seg_out = self._segment(variables, state, feats, selector,
+                                update_sensory, bucket_sel,
+                                bucket_rep=bucket_rep)
+        state, prob = seg_out[0], seg_out[1]  # aux (save_aux) is dropped here
 
         def mem(s):
             return self._memorize(variables, s, feats, selector,
@@ -233,16 +235,22 @@ class StepFunctions:
         # compile to exactly one pass.
         obj_mem = state.obj_v[:, :, None]  # T=1 (streaming average)
         mem_readout = None
+        aux = None
         for bi in range(len(bucket_rep)):
             bsel = bucket_sel[bi]
             last_mask_b = state.last_mask * bsel[None, :, None, None]
             fused_b = apply(feats.pix_feat, pixel_readout, state.sensory,
                             last_mask_b, method="pixel_fusion")
             sel_bb = jnp.broadcast_to(bsel[None], state.sensory.shape[:2])
-            r_b, _aux = apply(fused_b, obj_mem, selector=sel_bb,
-                              method="readout_query")
+            r_b, aux_b = apply(fused_b, obj_mem, selector=sel_bb,
+                               method="readout_query")
             r_b = r_b * bsel[None, :, None, None, None]
             mem_readout = r_b if mem_readout is None else mem_readout + r_b
+            if self.save_aux and aux_b is not None:
+                # aux for inspection (reference memory_manager.py:197-206)
+                aux = {"sensory": state.sensory, "pixel_readout": fused_b,
+                       "q_logits": aux_b["logits"],
+                       "attn_mask": aux_b["attn_mask"]}
         sel_b = jnp.broadcast_to(selector[None], state.sensory.shape[:2])
         new_sensory, _logits, prob = apply(
             (feats.f16, feats.f8, feats.f4), mem_readout, state.sensory,
@@ -256,6 +264,8 @@ class StepFunctions:
         else:
             last_mask = prob[:, 1:].astype(jnp.float32)
         state = state.replace(sensory=new_sensory, last_mask=last_mask)
+        if self.save_aux:
+            return state, prob, aux
         return state, prob
 
     # --------------------------------------------------------------- memorize

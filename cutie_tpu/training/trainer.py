@@ -177,6 +177,33 @@ class Trainer:
         log.info("checkpoint loaded from %s (it=%d)", path, self.it)
         return self.it
 
+    def save_checkpoint_orbax(self, path_dir: str) -> None:
+        """Orbax checkpoint (multi-host safe, atomic). Alternative to the
+        pickle format for production runs."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path_dir), {
+            "it": self.it,
+            "params": jax.device_get(self.params),
+            "batch_stats": jax.device_get(self.batch_stats),
+            "opt_state": jax.device_get(self.opt_state),
+        }, force=True)
+        log.info("orbax checkpoint saved to %s", path_dir)
+
+    def load_checkpoint_orbax(self, path_dir: str) -> int:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckpt = ckptr.restore(os.path.abspath(path_dir))
+        self.params = ckpt["params"]
+        self.batch_stats = ckpt["batch_stats"]
+        self.opt_state = ckpt["opt_state"]
+        self.it = int(ckpt["it"])
+        self._build_step()
+        log.info("orbax checkpoint loaded from %s (it=%d)", path_dir, self.it)
+        return self.it
+
     def get_variables(self) -> Dict[str, Any]:
         return {"params": jax.device_get(self.params),
                 "batch_stats": jax.device_get(self.batch_stats)}

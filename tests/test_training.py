@@ -109,3 +109,26 @@ def test_checkpoint_roundtrip(tmp_path):
 
     tree = load_weights_npz(wts)
     assert "params" in tree and "batch_stats" in tree
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from cutie_tpu.config import eval_config
+    from cutie_tpu.models import CUTIE
+    from cutie_tpu.training.trainer import Trainer
+    from cutie_tpu.utils.get_default_model import init_variables
+
+    cfg = eval_config("small")
+    stage = _tiny_stage()
+    model = CUTIE(cfg)
+    variables = init_variables(model, image_size=64, num_objects=2)
+    trainer = Trainer(cfg=cfg, stage_cfg=stage, model=model, variables=variables)
+    trainer.it = 7
+    d = str(tmp_path / "orbax_ckpt")
+    trainer.save_checkpoint_orbax(d)
+    trainer2 = Trainer(cfg=cfg, stage_cfg=stage, model=model, variables=variables)
+    assert trainer2.load_checkpoint_orbax(d) == 7
+    p1 = jax.tree.leaves(trainer.params)[0]
+    p2 = jax.tree.leaves(trainer2.params)[0]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
