@@ -219,6 +219,9 @@ def eval_config(model: str = "base") -> Config:
         "perm_frame_capacity": 1,
         # compute dtype for the conv/transformer stacks ('float32' | 'bfloat16')
         "compute_dtype": "float32",
+        # MXU multiply precision for fp32 stacks (None=jax default [bf16
+        # multiplies], 'highest'=true fp32 — bit-closest to the reference)
+        "matmul_precision": None,
         "datasets": {k: dict(v) for k, v in _DATASETS.items()},
     })
 

@@ -36,6 +36,13 @@ log = logging.getLogger(__name__)
 def eval_vos(cfg) -> dict:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # conv/matmul multiply precision for the fp32 network stacks:
+    #   default  — bf16 multiplies on the MXU (fast; the attention-affinity
+    #              chain stays fp32-HIGHEST regardless: ops/memory.py)
+    #   highest  — full fp32 everywhere (bit-closest to the reference)
+    prec = cfg.get("matmul_precision")
+    if prec:
+        jax.config.update("jax_default_matmul_precision", prec)
 
     run_dir = cfg.output_dir or path.join("output", cfg.exp_id, cfg.dataset)
     os.makedirs(run_dir, exist_ok=True)

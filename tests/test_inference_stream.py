@@ -118,3 +118,48 @@ def test_stream_add_delete_objects_parity():
         ours[:p.shape[0]] = p
         agree.append((ours.argmax(0) == rec["probs"][ti].argmax(0)).mean())
     assert min(agree) > 0.98, agree
+
+
+def test_determinism_same_seed_identical_masks():
+    """SURVEY §4: same inputs => bit-identical outputs across runs."""
+    rec = dict(np.load(require_golden("stream_small_work.npz")))
+    outs = []
+    for _ in range(2):
+        core = _build_core(use_long_term=False)
+        probs = []
+        for ti in range(6):
+            if ti == 0:
+                p = core.step(rec["frames"][ti], rec["mask0"], objects=[1, 2])
+            else:
+                p = core.step(rec["frames"][ti])
+            probs.append(np.asarray(p))
+        outs.append(probs)
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_update_config_runtime():
+    """Runtime memory-budget updates (reference inference_core.py:67-69,
+    memory_manager.py:59-75): mem_every/top_k/max_mem_frames updatable,
+    use_long_term immutable."""
+    rec = dict(np.load(require_golden("stream_small_work.npz")))
+    core = _build_core(use_long_term=False)
+    core.step(rec["frames"][0], rec["mask0"], objects=[1, 2])
+    core.update_config({
+        "mem_every": 2, "top_k": 10, "use_long_term": False,
+        "max_mem_frames": 4,
+        "long_term": {"max_mem_frames": 4, "min_mem_frames": 2,
+                      "max_num_tokens": 256, "buffer_tokens": 64},
+    })
+    assert core.mem_every == 2
+    assert core.steps.top_k == 10
+    assert core.max_mem_frames == 3
+    # continues to run with the new top_k graph variant
+    p = core.step(rec["frames"][1])
+    assert np.asarray(p).shape[0] == 3
+    with pytest.raises(AssertionError):
+        core.update_config({"mem_every": 2, "top_k": 10, "use_long_term": True,
+                            "long_term": {"max_mem_frames": 4,
+                                          "min_mem_frames": 2,
+                                          "max_num_tokens": 256,
+                                          "buffer_tokens": 64}})
