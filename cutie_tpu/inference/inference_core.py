@@ -105,6 +105,11 @@ class InferenceCore:
         self._perm_n = 0
         self._work_count = 0
         self._lt_count = 0
+        # cached device-side constants (avoid per-frame tiny H2D transfers)
+        self._dev_true = jnp.asarray(True)
+        self._dev_false = jnp.asarray(False)
+        self._sel_cache = None  # (num_obj, capacity) -> device selector
+        self._bucket_cache = None  # (tuple(slot_bucket), capacity) -> arrays
 
     # ------------------------------------------------------------------ admin
 
@@ -167,6 +172,24 @@ class InferenceCore:
         sel = np.zeros((o,), np.float32)
         sel[:self.object_manager.num_obj] = 1.0
         return sel
+
+    def _selector_dev(self):
+        o = self.state.sensory.shape[1]
+        key = (self.object_manager.num_obj, o)
+        if self._sel_cache is None or self._sel_cache[0] != key:
+            self._sel_cache = (key, jnp.asarray(self._selector()))
+        return self._sel_cache[1]
+
+    def _buckets_dev(self):
+        o = self.state.sensory.shape[1]
+        key = (tuple(self._slot_bucket), o)
+        if self._bucket_cache is None or self._bucket_cache[0] != key:
+            reps, sel = self._buckets()
+            self._bucket_cache = (key, reps, jnp.asarray(sel))
+        return self._bucket_cache[1], self._bucket_cache[2]
+
+    def _flag(self, b: bool):
+        return self._dev_true if b else self._dev_false
 
     def _buckets(self):
         """(bucket_rep static tuple, bucket_sel [num_buckets, O]) for the read."""
@@ -337,12 +360,12 @@ class InferenceCore:
         # one device dispatch for encode+segment+conditional-memorize
         if (mask is None and self.engaged and not force_permanent
                 and not self.save_aux):
-            bucket_rep, bucket_sel = self._buckets()
+            bucket_rep, bucket_sel = self._buckets_dev()
             self.state, prob = self.steps.step_plain(
                 self.variables, self.state, image_d,
-                jnp.asarray(self._selector()), jnp.asarray(bucket_sel),
-                jnp.asarray(update_sensory),
-                jnp.asarray(bool(is_mem_frame)), pad=self.pad,
+                self._selector_dev(), bucket_sel,
+                self._flag(update_sensory),
+                self._flag(bool(is_mem_frame)), pad=self.pad,
                 input_mode=input_mode, bucket_rep=bucket_rep)
             if is_mem_frame:
                 self._work_count = min(self._work_count + 1, self.ring_frames)
@@ -364,11 +387,11 @@ class InferenceCore:
             if not self.engaged:
                 log.warning("Trying to segment without any memory!")
                 return jnp.zeros((1, h, w), jnp.float32)
-            bucket_rep, bucket_sel = self._buckets()
+            bucket_rep, bucket_sel = self._buckets_dev()
             seg_out = self.steps.segment(
                 self.variables, self.state, feats,
-                jnp.asarray(self._selector()), jnp.asarray(update_sensory),
-                jnp.asarray(bucket_sel), bucket_rep=bucket_rep)
+                self._selector_dev(), self._flag(update_sensory),
+                bucket_sel, bucket_rep=bucket_rep)
             if self.save_aux:
                 self.state, prob, self.aux = seg_out
             else:
