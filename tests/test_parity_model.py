@@ -157,3 +157,28 @@ def test_read_memory_train_path(small_setup):
                                rec["aux_sensory_logits"], rtol=RTOL, atol=2e-3)
     np.testing.assert_allclose(np.asarray(aux_out["q_logits"]),
                                rec["aux_q_logits"], rtol=RTOL, atol=2e-3)
+
+
+def test_resnet50_trunk_parity():
+    """Bottleneck-block coverage (the full-model fixtures use resnet18)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.models.resnet import ResNetTrunk
+    from cutie_tpu.utils.weight_import import convert_torch_state_dict
+
+    raw = dict(np.load(require_golden("resnet50_trunk.npz")))
+    sd = {k[3:]: v for k, v in raw.items() if k.startswith("sd:")}
+
+    trunk = ResNetTrunk("resnet50")
+    x = to_nhwc(raw["x"])
+    shapes = jax.eval_shape(trunk.init, jax.random.PRNGKey(0), jnp.asarray(x))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+    variables = convert_torch_state_dict(sd, zeros, strict=True)
+    f4, f8, f16 = jax.jit(trunk.apply)(variables, x)
+    np.testing.assert_allclose(np.asarray(f4), to_nhwc(raw["f4"]), rtol=2e-3,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(f8), to_nhwc(raw["f8"]), rtol=2e-3,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(f16), to_nhwc(raw["f16"]), rtol=2e-3,
+                               atol=5e-4)

@@ -254,6 +254,7 @@ def main():
 
     gen_stream_add_del(model, out_dir, args.variant)
     gen_ritm(out_dir)
+    gen_resnet50_trunk(out_dir)
 
     print(f"Wrote fixtures for {args.variant} to {out_dir}")
 
@@ -306,6 +307,37 @@ def gen_stream_add_del(model, out_dir, variant: str, t: int = 14, h: int = 96,
                         frames=frames, mask0=mask0, mask2=mask2,
                         probs=np.stack(outs))
     print(f"stream fixture: stream_{variant}_adddel.npz")
+
+
+def gen_resnet50_trunk(out_dir, seed: int = 55):
+    """Bottleneck-block coverage: the reference resnet50 trunk (conv1..layer3)
+    on a tiny input (the committed small-variant fixtures only cover
+    BasicBlock)."""
+    import torch
+
+    from cutie.model.utils import resnet as ref_resnet
+
+    torch.manual_seed(seed)
+    net = ref_resnet.resnet50(pretrained=False)
+    net.eval()
+    g = torch.Generator().manual_seed(seed + 1)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean = torch.randn(m.running_mean.shape, generator=g) * 0.05
+            m.running_var = 0.5 + torch.rand(m.running_var.shape, generator=g)
+
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        h = net.maxpool(net.relu(net.bn1(net.conv1(x))))
+        f4 = net.layer1(h)
+        f8 = net.layer2(f4)
+        f16 = net.layer3(f8)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()
+          if not k.startswith("layer4")}
+    np.savez_compressed(out_dir / "resnet50_trunk.npz",
+                        x=x.numpy(), f4=f4.numpy(), f8=f8.numpy(),
+                        f16=f16.numpy(), **{f"sd:{k}": v for k, v in sd.items()})
+    print("resnet50 trunk fixture written")
 
 
 def gen_ritm(out_dir, seed: int = 99):
