@@ -78,7 +78,14 @@ def eval_vos(cfg) -> dict:
     total_process_time = 0.0
     total_frames = 0
 
-    for vid_reader in meta_dataset.get_datasets():
+    # multi-host eval: videos are embarrassingly parallel — stride them by
+    # process (SURVEY §2.10: per-host video sharding replaces the reference's
+    # single-process eval)
+    pidx, pcnt = jax.process_index(), jax.process_count()
+
+    for vi, vid_reader in enumerate(meta_dataset.get_datasets()):
+        if vi % pcnt != pidx:
+            continue
         vid_name = vid_reader.vid_name
         vid_length = len(vid_reader)
         log.info("Processing %s (%d frames)", vid_name, vid_length)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cutie_tpu.inference.image_feature_store import ImageFeatureStore
 from cutie_tpu.inference.object_manager import ObjectManager
 from cutie_tpu.inference.state import MemoryState, grow_perm, init_state, pad_objects
 from cutie_tpu.inference.steps import StepFunctions
@@ -75,6 +76,7 @@ class InferenceCore:
                 np.round(np.linspace(1, self.mem_every, stagger_updates)).astype(int))
         self.object_manager = ObjectManager()
         self.steps = StepFunctions.get(self.model, cfg)
+        self.image_feature_store = ImageFeatureStore(self.steps, self.variables)
 
         # memory budgets (memory_manager.py:29-38: -1 because the first frame
         # becomes permanent memory)
@@ -359,7 +361,8 @@ class InferenceCore:
         # fused fast path: plain propagation frame (no user mask, no commit) —
         # one device dispatch for encode+segment+conditional-memorize
         if (mask is None and self.engaged and not force_permanent
-                and not self.save_aux):
+                and not self.save_aux and delete_buffer
+                and self.curr_ti not in self.image_feature_store):
             bucket_rep, bucket_sel = self._buckets_dev()
             self.state, prob = self.steps.step_plain(
                 self.variables, self.state, image_d,
@@ -379,8 +382,8 @@ class InferenceCore:
                 output_prob = jnp.moveaxis(out, -1, 0)
             return output_prob
 
-        feats = self.steps.encode(self.variables, image_d, pad=self.pad,
-                                  input_mode=input_mode)
+        feats = self.image_feature_store.get_features(
+            self.curr_ti, image_d, pad=self.pad, input_mode=input_mode)
 
         pred_prob_with_bg = None
         if need_segment:
@@ -439,6 +442,8 @@ class InferenceCore:
             if mode in ("no", "split"):
                 self._maybe_consolidate()
         self._new_slots = []
+        if delete_buffer:
+            self.image_feature_store.delete(self.curr_ti)
 
         # unpad + restore original size
         output_prob = pred_prob_with_bg[:, lh:h_pad - uh, lw:w_pad - uw]

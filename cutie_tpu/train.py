@@ -87,6 +87,7 @@ def train_config() -> Config:
             "importance_sample_ratio": 0.75, "clip_grad_norm": 3.0,
             "weight_decay": 0.001, "embed_weight_decay": 0.0,
             "backbone_lr_ratio": 0.1, "num_ref_frames": 2, "seq_length": 3,
+            "remat": True,
             "num_objects": 1, "deep_update_prob": 0.2, "crop_size": [384, 384],
             "frequent_save_in_last": 0, "frequent_save_interval": 1000,
         },
@@ -99,6 +100,7 @@ def train_config() -> Config:
             "importance_sample_ratio": 0.75, "clip_grad_norm": 3.0,
             "weight_decay": 0.001, "embed_weight_decay": 0.0,
             "backbone_lr_ratio": 0.1, "num_ref_frames": 3, "seq_length": 8,
+            "remat": True,
             "num_objects": 3, "deep_update_prob": 0.2, "crop_size": [480, 480],
             "merge_probability": 0.5, "max_skip_schedule": [5, 10, 15, 5],
             "max_skip_schedule_fraction": [0.0, 0.1, 0.3, 0.8],

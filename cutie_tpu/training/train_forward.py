@@ -29,7 +29,16 @@ def train_forward(model: CUTIE, variables: Dict[str, Any], data: Dict[str, jnp.n
       selector:       [B, O] 1/0
     returns {'logits': [B, T-1, O+1, H, W], 'aux_sensory_logits', 'aux_q_logits'}
     """
-    apply = functools.partial(model.apply, variables)
+    raw_apply = functools.partial(model.apply, variables)
+    if stage_cfg.get("remat", False):
+        # rematerialize stage activations: the unrolled T-frame BPTT graph at
+        # production sizes (B=16, 480^2, T=8) exceeds HBM without it
+        # (jax.checkpoint trades recompute for memory)
+        def apply(*args, method=None, **kwargs):
+            fn = lambda *a, **k: raw_apply(*a, method=method, **k)
+            return jax.checkpoint(fn)(*args, **kwargs)
+    else:
+        apply = raw_apply
     frames = data["frames"]
     first_frame_gt = data["first_frame_gt"].astype(jnp.float32)
     selector = data["selector"]

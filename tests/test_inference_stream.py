@@ -163,3 +163,28 @@ def test_update_config_runtime():
                                           "min_mem_frames": 2,
                                           "max_num_tokens": 256,
                                           "buffer_tokens": 64}})
+
+
+def test_image_feature_store_reuse():
+    """delete_buffer=False caches frame features for reuse across steps
+    (reference image_feature_store.py semantics)."""
+    rec = dict(np.load(require_golden("stream_small_work.npz")))
+    core = _build_core(use_long_term=False)
+    core.step(rec["frames"][0], rec["mask0"], objects=[1, 2],
+              delete_buffer=False)
+    assert core.curr_ti in core.image_feature_store
+    calls = {"n": 0}
+    orig = core.steps.encode
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    core.steps.encode = counting
+    # re-step the SAME frame index (interactive correction flow)
+    core.curr_ti -= 1
+    prob = core.step(rec["frames"][0])
+    assert calls["n"] == 0  # encode reused from the store
+    core.steps.encode = orig
+    core.image_feature_store.delete(core.curr_ti)
+    assert len(core.image_feature_store) == 0
