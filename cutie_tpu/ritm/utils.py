@@ -18,9 +18,18 @@ from cutie_tpu.ritm.weight_import import convert_ritm_state_dict, load_ritm_chec
 log = logging.getLogger(__name__)
 
 
+def _config_param(params: dict, key: str):
+    """Serialized configs store {'type','value','specified'} per param
+    (gui/ritm/utils/serialization.py:16-33); plain dicts store the value."""
+    v = params[key]
+    return v["value"] if isinstance(v, dict) and "value" in v else v
+
+
 def load_is_model(checkpoint_path: Optional[str], **model_overrides):
-    """Build HRNetISModel (+variables) from a reference RITM .pth if given,
-    else random init. Returns (model, variables)."""
+    """Build the interactive model (+variables) from a reference RITM .pth if
+    given, else random HRNet init. Dispatches on the checkpoint's serialized
+    config class like gui/ritm/utils/serialization.py:load_model — HRNetModel
+    -> HRNetISModel, DeeplabModel -> DeepLabISModel. Returns (model, variables)."""
     import jax
     import jax.numpy as jnp
 
@@ -42,12 +51,40 @@ def load_is_model(checkpoint_path: Optional[str], **model_overrides):
                   if hasattr(v, "numpy")}
         except Exception as e:
             log.warning("Could not load RITM checkpoint %s: %s", checkpoint_path, e)
-    if config is not None:
-        params = config.get("params", {}) if isinstance(config, dict) else {}
+
+    cls_name = ""
+    params = {}
+    if isinstance(config, dict):
+        cls_name = str(config.get("class", ""))
+        params = config.get("params", {}) or {}
+
+    if cls_name.rsplit(".", 1)[-1] == "DeeplabModel":
+        from cutie_tpu.ritm.deeplab import DeepLabISModel
+        dl_kwargs = dict(deeplab_ch=256, with_prev_mask=True, use_disks=True,
+                         norm_radius=5.0, use_leaky_relu=False)
+        for src, dst in (("deeplab_ch", "deeplab_ch"),
+                         ("with_prev_mask", "with_prev_mask"),
+                         ("use_disks", "use_disks"),
+                         ("norm_radius", "norm_radius"),
+                         ("use_leaky_relu", "use_leaky_relu")):
+            if src in params:
+                dl_kwargs[dst] = _config_param(params, src)
+        dl_kwargs.update({k: v for k, v in model_overrides.items()
+                          if k in dl_kwargs})
+        model = DeepLabISModel(**dl_kwargs)
+        c_in = 3 + (1 if dl_kwargs["with_prev_mask"] else 0)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, c_in)),
+                                jnp.full((1, 2, 3), -1.0))
+        zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+        variables = convert_ritm_state_dict(sd, zeros, strict=False)
+        return model, variables
+
+    if params:
         for k in ("width", "ocr_width", "small", "with_prev_mask", "use_disks",
                   "norm_radius", "use_rgb_conv", "use_leaky_relu"):
             if k in params:
-                kwargs[k] = params[k]
+                kwargs[k] = _config_param(params, k)
     kwargs.update(model_overrides)
 
     model = HRNetISModel(**kwargs)

@@ -52,9 +52,9 @@ def _candidates(path: Tuple[str, ...]) -> List[Tuple[str, str]]:
         if m:
             extend_all(["branches", m.group(1), m.group(2)])
             continue
-        m = re.fullmatch(r"layer1_(\d+)", s)
+        m = re.fullmatch(r"(layer\d)_(\d+)", s)
         if m:
-            extend_all(["layer1", m.group(1)])
+            extend_all([m.group(1), m.group(2)])
             continue
         if s == "downsample_conv":
             extend_all(["downsample", "0"])
@@ -88,6 +88,52 @@ def _candidates(path: Tuple[str, ...]) -> List[Tuple[str, str]]:
                 extend_all([name, str(2 * k)])
             else:  # bn wrapped in Sequential(norm, relu) at odd indices
                 extend_all([name, str(2 * k + 1), "0"])
+            continue
+        # ---- DeepLabV3+ flavor (cutie_tpu/ritm/deeplab.py) ----
+        m = re.fullmatch(r"conv1_(\d+)", s)
+        if m:  # deep stem Sequential
+            extend_all(["conv1", m.group(1)])
+            continue
+        if s == "skip_project_0_conv":
+            extend_all(["skip_project", "skip_project", "0"])
+            continue
+        if s == "skip_project_0_bn":
+            extend_all(["skip_project", "skip_project", "1"])
+            continue
+        m = re.fullmatch(r"b([0-3])_0_(conv|bn)", s)
+        if m:  # ASPP branches
+            extend_all(["concurent", m.group(1),
+                        "0" if m.group(2) == "conv" else "1"])
+            continue
+        m = re.fullmatch(r"b4_gap_(conv|bn)", s)
+        if m:  # ASPP global pooling branch (gap: pool=0, conv=1, bn=2)
+            extend_all(["concurent", "4", "gap",
+                        "1" if m.group(1) == "conv" else "2"])
+            continue
+        m = re.fullmatch(r"project_0_(conv|bn)", s)
+        if m:
+            extend_all(["project", "0" if m.group(1) == "conv" else "1"])
+            continue
+        m = re.fullmatch(r"head_([01])", s)
+        if m:  # _DeepLabHead separable convs; inner dw/pw/bn handled below
+            extend_all(["head", "block", m.group(1), "body"])
+            continue
+        if s == "head_2":
+            extend_all(["head", "block", "2"])
+            continue
+        m = re.fullmatch(r"sep_head_([01])", s)
+        if m:  # SepConvHead separable convs (torch names them 'layers')
+            extend_all(["head", "layers", m.group(1), "body"])
+            continue
+        if s == "sep_head_2":
+            extend_all(["head", "layers", "2"])
+            continue
+        if s in ("dw", "pw"):
+            extend_all(["0" if s == "dw" else "1"])
+            continue
+        if s == "bn" and out_options and out_options[0] and \
+                out_options[0][-1] == "body":
+            extend_all(["2"])
             continue
         m = re.fullmatch(r"(conv_bn_dropout|aux_head|conv3x3_ocr|cls_head|rgb_conv"
                          r"|maps_transform)_(\d+)_?(conv|bn)?", s)

@@ -144,3 +144,54 @@ def test_fbrs_optimization_flow():
     assert pred.opt_data is not None
     # negative click location should not be confidently foreground
     assert p2[0, 0, 10, 20] < 0.9
+
+
+def test_deeplab_converter_structural_coverage():
+    """Every DeepLabISModel param leaf must map onto an existing reference
+    state-dict key with a matching (transposed) shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.ritm.deeplab import DeepLabISModel
+    from cutie_tpu.ritm.weight_import import _candidates
+
+    shapes = {k: tuple(v) for k, v in
+              dict(np.load(require_golden("deeplab_shapes.npz"))).items()}
+
+    model = DeepLabISModel()
+    var_shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 4)),
+                                jnp.full((1, 2, 3), -1.0))
+
+    def flat(tree, prefix=()):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                yield from flat(v, prefix + (k,))
+        else:
+            yield prefix, v if False else tree
+
+    missing = []
+    used = set()
+    for coll in ("params", "batch_stats"):
+        for path, leaf in flat(dict(var_shapes)[coll]):
+            hit = None
+            for mod, pname in _candidates(path):
+                key = f"{mod}.{pname}"
+                if key in shapes:
+                    hit = key
+                    break
+            if hit is None:
+                missing.append(path)
+                continue
+            used.add(hit)
+            tshape = shapes[hit]
+            ours = tuple(leaf.shape)
+            if len(tshape) == 4:  # conv OIHW vs HWIO
+                tshape = (tshape[2], tshape[3], tshape[1], tshape[0])
+            if len(tshape) == 2:
+                tshape = tshape[::-1]
+            assert tshape == ours or (len(ours) == 1 and tshape == ours), \
+                (path, hit, tshape, ours)
+    assert not missing, missing[:10]
+    unused = set(shapes) - used
+    assert not unused, sorted(unused)[:10]

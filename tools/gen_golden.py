@@ -255,6 +255,7 @@ def main():
     gen_stream_add_del(model, out_dir, args.variant)
     gen_ritm(out_dir)
     gen_resnet50_trunk(out_dir)
+    gen_deeplab_shapes(out_dir)
 
     print(f"Wrote fixtures for {args.variant} to {out_dir}")
 
@@ -338,6 +339,25 @@ def gen_resnet50_trunk(out_dir, seed: int = 55):
                         x=x.numpy(), f4=f4.numpy(), f8=f8.numpy(),
                         f16=f16.numpy(), **{f"sd:{k}": v for k, v in sd.items()})
     print("resnet50 trunk fixture written")
+
+
+def gen_deeplab_shapes(out_dir):
+    """DeepLabV3+ RITM flavor: record state-dict KEY->SHAPE structure only
+    (the full tensor dump would add 160MB; converter-mapping coverage is the
+    point, block numerics are covered by the other fixtures)."""
+    import torch
+
+    sys.path.insert(0, str(REFERENCE / "gui"))
+    from ritm.model.is_deeplab_model import DeeplabModel
+
+    model = DeeplabModel(backbone="resnet50", deeplab_ch=256,
+                         use_rgb_conv=False, use_disks=True, norm_radius=5,
+                         with_prev_mask=True, cpu_dist_maps=False)
+    shapes = {k: np.asarray(v.shape, np.int64)
+              for k, v in model.state_dict().items()
+              if "num_batches_tracked" not in k}
+    np.savez_compressed(out_dir / "deeplab_shapes.npz", **shapes)
+    print("deeplab shape fixture written (%d keys)" % len(shapes))
 
 
 def gen_ritm(out_dir, seed: int = 99):
