@@ -1,0 +1,112 @@
+"""Memory-token-axis sharded top-k read vs the single-device reference chain.
+
+Runs on the 8-virtual-CPU-device mesh from conftest. The distributed read
+(parallel/sharded_memory.py) must reproduce ops.memory.topk_softmax+readout:
+same selected top-k set, same normalization, readout equal up to psum
+reduction order.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutie_tpu.ops.memory import get_similarity, readout, topk_softmax
+from cutie_tpu.parallel.sharded_memory import (make_mem_mesh, shard_memory,
+                                               sharded_topk_readout)
+
+
+def _problem(rng, b=2, n=512, p=96, o=3, ck=64, cv=32, n_valid=None):
+    mk = rng.randn(b, n, ck).astype(np.float32)
+    ms = (rng.rand(b, n).astype(np.float32) ** 2 + 1.0)
+    qk = rng.randn(b, p, ck).astype(np.float32)
+    qe = rng.rand(b, p, ck).astype(np.float32)
+    vals = rng.randn(b, o, n, cv).astype(np.float32)
+    valid = None
+    if n_valid is not None:
+        valid = np.zeros((b, n), bool)
+        valid[:, :n_valid] = True
+        # scatter validity so shards see uneven loads
+        perm = rng.permutation(n)
+        valid = valid[:, perm]
+    return mk, ms, qk, qe, vals, valid
+
+
+@pytest.mark.parametrize("n_valid", [None, 200])
+def test_sharded_read_matches_single_device(n_valid):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.RandomState(0)
+    mk, ms, qk, qe, vals, valid = _problem(rng, n_valid=n_valid)
+    top_k = 30
+
+    sim = get_similarity(jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(qk),
+                         jnp.asarray(qe),
+                         jnp.asarray(valid) if valid is not None else None)
+    aff, usage_ref = topk_softmax(sim, top_k, return_usage=True)
+    rd_ref = readout(aff, jnp.asarray(vals))
+
+    mesh = make_mem_mesh(8)
+    mk_d, ms_d, vals_d, valid_d = shard_memory(
+        mesh, jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(vals),
+        jnp.asarray(valid) if valid is not None else jnp.ones(ms.shape, bool))
+    rd, usage = sharded_topk_readout(
+        mk_d, ms_d, jnp.asarray(qk), jnp.asarray(qe), vals_d,
+        valid_d if valid is not None else None,
+        top_k, mesh, return_usage=True)
+
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(usage), np.asarray(usage_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_read_no_shrinkage_no_selection():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.RandomState(1)
+    mk, _ms, qk, _qe, vals, _ = _problem(rng, n=256, p=64)
+    top_k = 16
+
+    sim = get_similarity(jnp.asarray(mk), None, jnp.asarray(qk), None)
+    aff, _ = topk_softmax(sim, top_k)
+    rd_ref = readout(aff, jnp.asarray(vals))
+
+    mesh = make_mem_mesh(8)
+    rd, usage = sharded_topk_readout(
+        jnp.asarray(mk), None, jnp.asarray(qk), None, jnp.asarray(vals),
+        None, top_k, mesh)
+    assert usage is None
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_read_topk_exceeds_shard():
+    """k larger than one shard's token count: local top-k caps at N/D and
+    the union still contains the global top-k."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.RandomState(2)
+    mk, ms, qk, qe, vals, _ = _problem(rng, n=64, p=32)
+    top_k = 30  # > 64/8 = 8 per shard
+
+    sim = get_similarity(jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(qk),
+                         jnp.asarray(qe))
+    aff, _ = topk_softmax(sim, top_k)
+    rd_ref = readout(aff, jnp.asarray(vals))
+
+    mesh = make_mem_mesh(8)
+    rd, _ = sharded_topk_readout(
+        jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(qk), jnp.asarray(qe),
+        jnp.asarray(vals), None, top_k, mesh)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_read_rejects_indivisible():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mem_mesh(8)
+    mk = jnp.zeros((1, 100, 8))
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded_topk_readout(mk, None, jnp.zeros((1, 4, 8)), None,
+                             jnp.zeros((1, 1, 100, 4)), None, 8, mesh)
