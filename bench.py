@@ -53,12 +53,19 @@ def synth_video(t, h, w, seed=0):
 
 def run_video(core, frames, mask0, timed: bool):
     times = []
+    next_d = None
     for ti, frame in enumerate(frames):
         t0 = time.perf_counter()
+        frame_d = next_d if next_d is not None else jax.device_put(frame)
         if ti == 0:
-            prob = core.step(frame, mask0, objects=list(range(1, N_OBJECTS + 1)))
+            prob = core.step(frame_d, mask0,
+                             objects=list(range(1, N_OBJECTS + 1)))
         else:
-            prob = core.step(frame)
+            prob = core.step(frame_d)
+        # pipeline: upload frame t+1 while the device computes frame t
+        # (jit dispatch above is async; the copy overlaps device time)
+        if ti + 1 < len(frames):
+            next_d = jax.device_put(frames[ti + 1])
         jax.block_until_ready(prob)
         times.append(time.perf_counter() - t0)
     return times

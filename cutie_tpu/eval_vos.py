@@ -99,9 +99,22 @@ def eval_vos(cfg) -> dict:
             visualize_output_root=visualize_output_root, visualize=cfg.visualize,
             init_json=vid_reader.sequence_json if is_burst else None)
         first_mask_loaded = False
+
+        def can_preupload(rgb) -> bool:
+            # pipelined device_put only helps when step() won't host-resize
+            mis = cfg.max_internal_size
+            return mis <= 0 or min(rgb.shape[:2]) <= mis
+
         try:
-            for ti, data in enumerate(prefetch_iter(vid_reader, num_workers=4)):
-                image = data["rgb"]
+            stream = enumerate(prefetch_iter(vid_reader, num_workers=4))
+            _, buf = next(stream, (None, None))
+            next_rgb_d = None
+            ti = -1
+            while buf is not None:
+                ti += 1
+                data = buf
+                image = next_rgb_d if next_rgb_d is not None else data["rgb"]
+                next_rgb_d = None
                 mask = data.get("mask")
                 valid_labels = data.get("valid_labels")
                 if valid_labels is not None:
@@ -109,13 +122,19 @@ def eval_vos(cfg) -> dict:
                 info = data["info"]
 
                 t0 = time.perf_counter()
-                if not first_mask_loaded:
-                    if mask is not None:
-                        first_mask_loaded = True
-                    else:
-                        continue
-                prob = processor.step(image, mask, valid_labels,
-                                      end=(ti == vid_length - 1))
+                skip = not first_mask_loaded and mask is None
+                if mask is not None:
+                    first_mask_loaded = True
+                if not skip:
+                    prob = processor.step(image, mask, valid_labels,
+                                          end=(ti == vid_length - 1))
+                # upload the NEXT frame while the device computes this one
+                # (the jit dispatch above is async)
+                _, buf = next(stream, (None, None))
+                if buf is not None and can_preupload(buf["rgb"]):
+                    next_rgb_d = jax.device_put(buf["rgb"])
+                if skip:
+                    continue
                 jax.block_until_ready(prob)
                 total_process_time += time.perf_counter() - t0
                 total_frames += 1

@@ -306,13 +306,17 @@ class InferenceCore:
             objects = list(range(1, mask.shape[0] + 1))
 
         # accept either uint8 HWC (fast path: 4x fewer bytes over the link,
-        # layout/normalize happen on device) or the reference's float CHW
-        image = np.asarray(image)
+        # layout/normalize happen on device) or the reference's float CHW;
+        # a jax.Array is treated as an already-uploaded frame (pipelined
+        # device_put from the caller) — no host round-trip
+        if not isinstance(image, jax.Array):
+            image = np.asarray(image)
         if image.ndim == 3 and image.shape[-1] == 3 and image.dtype == np.uint8:
             input_mode = "hwc_u8"
             orig_h, orig_w = image.shape[:2]
         else:
-            image = np.asarray(image, np.float32)  # [3, H, W] in [0, 1]
+            if not isinstance(image, jax.Array):
+                image = np.asarray(image, np.float32)  # [3, H, W] in [0, 1]
             input_mode = "chw_f32"
             orig_h, orig_w = image.shape[-2:]
 
@@ -364,18 +368,17 @@ class InferenceCore:
                 and not self.save_aux and delete_buffer
                 and self.curr_ti not in self.image_feature_store):
             bucket_rep, bucket_sel = self._buckets_dev()
-            self.state, prob = self.steps.step_plain(
+            self.state, output_prob = self.steps.step_plain(
                 self.variables, self.state, image_d,
                 self._selector_dev(), bucket_sel,
                 self._flag(update_sensory),
                 self._flag(bool(is_mem_frame)), pad=self.pad,
-                input_mode=input_mode, bucket_rep=bucket_rep)
+                input_mode=input_mode, bucket_rep=bucket_rep,
+                n_out=self.object_manager.num_obj + 1)
             if is_mem_frame:
                 self._work_count = min(self._work_count + 1, self.ring_frames)
                 self.last_mem_ti = self.curr_ti
                 self._maybe_consolidate()
-            output_prob = prob[0][:, lh:h_pad - uh, lw:w_pad - uw]
-            output_prob = output_prob[:self.object_manager.num_obj + 1]
             if resize_needed:
                 out = jnp.moveaxis(output_prob, 0, -1)
                 out = bilinear_resize(out, orig_h, orig_w)

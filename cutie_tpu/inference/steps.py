@@ -76,7 +76,7 @@ class StepFunctions:
         # single compiled graph serves every frame)
         self.step_plain = jax.jit(
             self._step_plain, donate_argnums=(1,),
-            static_argnames=("pad", "input_mode", "bucket_rep"))
+            static_argnames=("pad", "input_mode", "bucket_rep", "n_out"))
         self.segment = jax.jit(self._segment, donate_argnums=(1,),
                                static_argnames=("bucket_rep",))
         self.memorize = jax.jit(self._memorize, donate_argnums=(1,),
@@ -123,9 +123,13 @@ class StepFunctions:
                     selector: jnp.ndarray, bucket_sel: jnp.ndarray,
                     update_sensory: jnp.ndarray, do_memorize: jnp.ndarray, *,
                     pad=(0, 0, 0, 0), input_mode: str = "hwc_u8",
-                    bucket_rep: Tuple[int, ...] = (0,)):
+                    bucket_rep: Tuple[int, ...] = (0,), n_out: int = 0):
         """Fused plain-frame step: segment every frame, memorize only when
-        do_memorize (lax.cond executes one branch on TPU)."""
+        do_memorize (lax.cond executes one branch on TPU).
+
+        n_out > 0: unpad + trim the object axis to n_out channels INSIDE the
+        fused graph (batch squeezed) — eager post-step slicing on the host
+        costs ~1.2 ms/frame in dispatch overhead at 480p."""
         feats = self._encode(variables, image, pad=pad, input_mode=input_mode)
         seg_out = self._segment(variables, state, feats, selector,
                                 update_sensory, bucket_sel,
@@ -138,6 +142,10 @@ class StepFunctions:
                                   mode="no")
 
         state = jax.lax.cond(do_memorize, mem, lambda s: s, state)
+        if n_out:
+            lw, uw, lh, uh = pad
+            hp, wp = prob.shape[-2:]
+            prob = prob[0, :n_out, lh:hp - uh, lw:wp - uw]
         return state, prob
 
     # ----------------------------------------------------------------- reading
