@@ -54,6 +54,7 @@ def synth_video(t, h, w, seed=0):
 def run_video(core, frames, mask0, timed: bool):
     times = []
     next_d = None
+    t_start = time.perf_counter()
     for ti, frame in enumerate(frames):
         t0 = time.perf_counter()
         frame_d = next_d if next_d is not None else jax.device_put(frame)
@@ -62,13 +63,16 @@ def run_video(core, frames, mask0, timed: bool):
                              objects=list(range(1, N_OBJECTS + 1)))
         else:
             prob = core.step(frame_d)
-        # pipeline: upload frame t+1 while the device computes frame t
-        # (jit dispatch above is async; the copy overlaps device time)
+        # pipeline: upload frame t+1 on the dispatch thread right after the
+        # async jit dispatch, overlapping the copy with device compute.
+        # (A threaded-prefetch device_put was measured SLOWER here — the
+        # worker threads contend with dispatch for the GIL/tunnel.)
         if ti + 1 < len(frames):
             next_d = jax.device_put(frames[ti + 1])
         jax.block_until_ready(prob)
         times.append(time.perf_counter() - t0)
-    return times
+    wall = time.perf_counter() - t_start
+    return times, wall
 
 
 def main():
@@ -87,9 +91,12 @@ def main():
     core = InferenceCore(bundle, cfg)
     run_video(core, frames[:12], mask0, timed=False)
 
-    # timed pass on a fresh core (reference measures every frame incl. first)
+    # timed pass on a fresh core. FPS = frames / sum of per-frame
+    # synchronized step times, every frame incl. the first — the reference's
+    # methodology (cutie/eval_vos.py:126-145 times each step with CUDA
+    # events and sums), so vs_baseline compares like for like.
     core = InferenceCore(bundle, cfg)
-    times = run_video(core, frames, mask0, timed=True)
+    times, wall = run_video(core, frames, mask0, timed=True)
     fps = len(times) / sum(times)
 
     print(json.dumps({

@@ -106,6 +106,10 @@ def eval_vos(cfg) -> dict:
             return mis <= 0 or min(rgb.shape[:2]) <= mis
 
         try:
+            # H2D pipelining on the dispatch thread: upload frame t+1 right
+            # after dispatching frame t (async jit). A threaded-prefetch
+            # device_put was measured slower (GIL/tunnel contention with
+            # dispatch); decode still happens in prefetch_iter's workers.
             stream = enumerate(prefetch_iter(vid_reader, num_workers=4))
             _, buf = next(stream, (None, None))
             next_rgb_d = None
@@ -128,8 +132,6 @@ def eval_vos(cfg) -> dict:
                 if not skip:
                     prob = processor.step(image, mask, valid_labels,
                                           end=(ti == vid_length - 1))
-                # upload the NEXT frame while the device computes this one
-                # (the jit dispatch above is async)
                 _, buf = next(stream, (None, None))
                 if buf is not None and can_preupload(buf["rgb"]):
                     next_rgb_d = jax.device_put(buf["rgb"])
