@@ -195,3 +195,63 @@ def test_deeplab_converter_structural_coverage():
     assert not missing, missing[:10]
     unused = set(shapes) - used
     assert not unused, sorted(unused)[:10]
+
+
+def test_ritm_train_losses_golden():
+    """jax RITM training losses/metric match the reference torch ones
+    (losses.py, metrics.py) on a recorded random-input fixture."""
+    import jax.numpy as jnp
+
+    from cutie_tpu.ritm.train_losses import (AdaptiveIoU, focal_loss_sigmoid,
+                                             normalized_focal_loss_sigmoid,
+                                             sigmoid_bce_loss, soft_iou_loss)
+
+    rec = dict(np.load(require_golden("ritm_train_losses.npz")))
+    pred, label = jnp.asarray(rec["pred"]), jnp.asarray(rec["label"])
+
+    np.testing.assert_allclose(
+        normalized_focal_loss_sigmoid(pred, label, alpha=0.5, gamma=2),
+        rec["nfl"], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        normalized_focal_loss_sigmoid(pred, label, alpha=0.5, gamma=2,
+                                      max_mult=3.0),
+        rec["nfl_maxmult"], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        focal_loss_sigmoid(pred, label, alpha=0.25, gamma=2),
+        rec["focal"], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(soft_iou_loss(pred, label), rec["soft_iou"],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(sigmoid_bce_loss(pred, label), rec["bce"],
+                               atol=1e-5, rtol=1e-5)
+
+    m = AdaptiveIoU(init_thresh=0.4)
+    for _ in range(3):
+        m.update(rec["pred"][:, 0], rec["label"][:, 0])
+    np.testing.assert_allclose(m.iou_thresh, rec["aiou_thresh"], atol=1e-9)
+    np.testing.assert_allclose(m.get_epoch_value(), rec["aiou_epoch"],
+                               atol=1e-9)
+
+
+def test_ritm_initializers():
+    """Bilinear init reproduces exact bilinear upsampling weights; Xavier
+    Gluon scales match the fan computation (initializer.py:47-105)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.ritm.train_losses import (bilinear_init,
+                                             bilinear_upsample_kernel,
+                                             xavier_gluon_init)
+
+    ker = bilinear_upsample_kernel(2)  # 4x4, classic [.25 .75 .75 .25] outer
+    row = np.array([0.25, 0.75, 0.75, 0.25], np.float32)
+    np.testing.assert_allclose(ker, np.outer(row, row), atol=1e-7)
+
+    w = bilinear_init(2, groups=1, in_channels=3)(None, (4, 4, 3, 3))
+    for i in range(3):
+        np.testing.assert_allclose(w[:, :, i, i], ker, atol=1e-7)
+        assert float(jnp.abs(w[:, :, i, (i + 1) % 3]).max()) == 0.0
+
+    k = jax.random.PRNGKey(0)
+    wu = xavier_gluon_init("uniform", "avg", 3)(k, (3, 3, 16, 32))
+    bound = np.sqrt(3.0 / ((16 * 9 + 32 * 9) / 2))
+    assert float(jnp.abs(wu).max()) <= bound + 1e-6

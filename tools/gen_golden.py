@@ -256,6 +256,7 @@ def main():
     gen_ritm(out_dir)
     gen_resnet50_trunk(out_dir)
     gen_deeplab_shapes(out_dir)
+    gen_ritm_train_losses(out_dir)
 
     print(f"Wrote fixtures for {args.variant} to {out_dir}")
 
@@ -401,3 +402,36 @@ def gen_ritm(out_dir, seed: int = 99):
 
 if __name__ == "__main__":
     main()
+
+
+def gen_ritm_train_losses(out_dir):
+    """Reference RITM training losses/metric on random inputs
+    (gui/ritm/model/losses.py, metrics.py)."""
+    import torch
+
+    sys.path.insert(0, str(REFERENCE / "gui"))
+    from ritm.model.losses import (FocalLoss, NormalizedFocalLossSigmoid,
+                                   SigmoidBinaryCrossEntropyLoss, SoftIoU)
+    from ritm.model.metrics import AdaptiveIoU
+
+    rng = np.random.RandomState(7)
+    pred = rng.randn(3, 1, 24, 32).astype(np.float32) * 2
+    label = (rng.rand(3, 1, 24, 32) > 0.6).astype(np.float32)
+    label[0, 0, :4] = -1  # ignore region
+    tp, tl = torch.tensor(pred), torch.tensor(label)
+
+    rec = {"pred": pred, "label": label}
+    with torch.no_grad():
+        rec["nfl"] = NormalizedFocalLossSigmoid(alpha=0.5, gamma=2)(tp, tl).numpy()
+        rec["nfl_maxmult"] = NormalizedFocalLossSigmoid(
+            alpha=0.5, gamma=2, max_mult=3.0)(tp, tl).numpy()
+        rec["focal"] = FocalLoss(alpha=0.25, gamma=2)(tp, tl).numpy()
+        rec["soft_iou"] = SoftIoU()(tp, tl).numpy()
+        rec["bce"] = SigmoidBinaryCrossEntropyLoss()(tp, tl).numpy()
+    m = AdaptiveIoU(init_thresh=0.4)
+    for _ in range(3):
+        m.update(tp[:, 0], tl[:, 0])
+    rec["aiou_thresh"] = np.float64(m.iou_thresh)
+    rec["aiou_epoch"] = np.float64(m.get_epoch_value())
+    np.savez_compressed(out_dir / "ritm_train_losses.npz", **rec)
+    print("ritm train-loss fixture written")
