@@ -159,14 +159,36 @@ def _segment_iou(s1, s2):
 
 
 def _resize_chw(image, h, w):
-    """align_corners=True bilinear resize of [1, C, H, W] numpy (cv2-based
-    approximation is not exact; use our jax helper for parity)."""
-    import jax.numpy as jnp
+    """align_corners=True bilinear resize of [1, C, H, W] numpy, computed ON
+    HOST (same fp32 formula as ops.resize.bilinear_resize_align_corners).
+    The predictor's transform cascade calls this 3x per click; routing it
+    through the device costs a ~100 ms D2H sync per call over the TPU
+    tunnel (measured: warm click latency 747 ms -> ~80 ms after making the
+    cascade host-side)."""
+    x = np.asarray(image, np.float32)
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    if in_h == h and in_w == w:
+        return x
 
-    from cutie_tpu.ops.resize import bilinear_resize_align_corners
-    x = jnp.moveaxis(jnp.asarray(image), 1, -1)
-    x = bilinear_resize_align_corners(x, h, w)
-    return np.asarray(jnp.moveaxis(x, -1, 1))
+    def coords(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            return np.zeros((n_out,), np.float32)
+        return np.arange(n_out, dtype=np.float32) * ((n_in - 1) / (n_out - 1))
+
+    ys, xs = coords(in_h, h), coords(in_w, w)
+    y0 = np.clip(np.floor(ys).astype(np.int32), 0, in_h - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int32), 0, in_w - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    wy = (ys - y0).astype(np.float32)[:, None]
+    wx = (xs - x0).astype(np.float32)[None, :]
+    v00 = x[..., y0[:, None], x0[None, :]]
+    v01 = x[..., y0[:, None], x1[None, :]]
+    v10 = x[..., y1[:, None], x0[None, :]]
+    v11 = x[..., y1[:, None], x1[None, :]]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
 
 
 # --------------------------------------------------------------- transforms
@@ -389,6 +411,32 @@ class Predictor:
         self.with_prev_mask = getattr(model, "with_prev_mask", True)
 
         self._apply = jax.jit(model.apply)
+        # fetch stride-4 logits and upsample on host when the model supports
+        # it (HRNet): ~16x less D2H per click; _resize_chw is bit-identical
+        # to the in-model align-corners upsample
+        self._apply_low = (jax.jit(functools.partial(
+            model.apply, method="low_res_instances"))
+            if hasattr(type(model), "low_res_instances") else None)
+
+        if self._apply_low is not None:
+            import jax.numpy as jnp
+
+            def _fwd_flip(variables, img1, pts, w):
+                # reconstruct the horizontally-flipped batch member ON DEVICE
+                # (halves the per-click H2D upload, the dominant latency term
+                # over a TPU tunnel). Exact: content occupies cols [0, w) of
+                # the zero-padded canvas; full-width reverse puts it at
+                # [wp-w, wp) and the roll realigns it to [0, w) — identical
+                # values to the host flip-then-pad, zeros elsewhere.
+                rev = img1[:, :, ::-1, :]
+                img2 = jnp.roll(rev, w - img1.shape[2], axis=2)
+                img = jnp.concatenate([img1, img2], axis=0)
+                return model.apply(variables, img, pts,
+                                   method="low_res_instances")
+
+            self._apply_low_flip = jax.jit(_fwd_flip)
+        else:
+            self._apply_low_flip = None
 
         self.transforms: List[BaseTransform] = []
         if zoom_in is not None:
@@ -452,6 +500,18 @@ class Predictor:
         pts[:, :k] = points_nd[:, :k]
         pts[:, kp:kp + k] = points_nd[:, k:]
 
+        if self._apply_low is not None:
+            if b == 2 and self.with_flip and self._apply_low_flip is not None:
+                # batch member 1 is the horizontal flip (AddHorizontalFlip is
+                # the last transform) — rebuild it on device, upload only
+                # member 0
+                low = self._apply_low_flip(self.variables, img[:1], pts,
+                                           np.int32(w))
+            else:
+                low = self._apply_low(self.variables, img, pts)
+            low = np.transpose(np.asarray(low), (0, 3, 1, 2))  # [B,1,Hp/4,Wp/4]
+            inst = _resize_chw(low, hp, wp)          # host upsample (exact)
+            return inst[:, :, :h, :w]
         out = self._apply(self.variables, img, pts)
         inst = np.asarray(out["instances"])  # [B, Hp, Wp, 1]
         return np.transpose(inst, (0, 3, 1, 2))[:, :, :h, :w]

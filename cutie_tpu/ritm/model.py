@@ -109,6 +109,15 @@ class HRNetISModel(nn.Module):
                 out_aux.astype(jnp.float32), h, w)
         return result
 
+    def low_res_instances(self, image: jnp.ndarray, points: jnp.ndarray):
+        """Pre-upsample logits [B, H/4, W/4, 1]. The predictor fetches these
+        and runs the (bit-identical) align-corners upsample on HOST — the
+        full-resolution fetch costs ~16x more D2H bandwidth, which dominates
+        click latency over a TPU tunnel."""
+        x, addf = self._stem_inputs(image, points)
+        out, _out_aux = self.feature_extractor(x, addf)
+        return out.astype(jnp.float32)
+
     def get_head_input(self, image: jnp.ndarray, points: jnp.ndarray):
         """Backbone features for f-BRS (brs.py:229-246): everything up to the
         multi-resolution aggregation, before the OCR heads."""
