@@ -85,3 +85,42 @@ def nearest_exact_resize_np(mask, out_h: int, out_w: int):
     ys = np.clip(ys, 0, h - 1)
     xs = np.clip(xs, 0, w - 1)
     return mask[..., ys[:, None], xs[None, :]]
+
+
+def bilinear_resize_np(x, out_h: int, out_w: int):
+    """Host-side numpy bilinear resize over the LAST TWO axes, exactly
+    matching torch F.interpolate(mode='bilinear', align_corners=False,
+    antialias=False): half-pixel-centered point sampling, NO antialiasing.
+
+    NOTE: this differs from `bilinear_resize` (jax.image.resize 'linear')
+    on DOWNsampling — jax.image.resize antialiases by default (max diff
+    ~0.5 on a 2x downsample). The reference never antialiases, so the
+    max_internal_size input path must use this twin.
+    """
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    h, w = x.shape[-2], x.shape[-1]
+    if h == out_h and w == out_w:
+        return x
+
+    def coords(n_in, n_out):
+        s = np.float32(n_in / n_out)
+        c = (np.arange(n_out, dtype=np.float32) + np.float32(0.5)) * s \
+            - np.float32(0.5)
+        return np.clip(c, 0.0, n_in - 1)
+
+    ys, xs = coords(h, out_h), coords(w, out_w)
+    y0 = np.floor(ys).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x0 = np.floor(xs).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(np.float32)[:, None]
+    wx = (xs - x0).astype(np.float32)[None, :]
+    v00 = x[..., y0[:, None], x0[None, :]]
+    v01 = x[..., y0[:, None], x1[None, :]]
+    v10 = x[..., y1[:, None], x0[None, :]]
+    v11 = x[..., y1[:, None], x1[None, :]]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy

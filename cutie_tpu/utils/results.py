@@ -74,11 +74,11 @@ class ResultSaver:
                 path_to_image: Optional[str] = None):
         """prob: [num_objects+1, H, W] device or numpy array."""
         if resize_needed:
-            import jax.numpy as jnp
-
-            from cutie_tpu.ops.resize import bilinear_resize
-            x = jnp.moveaxis(jnp.asarray(prob), 0, -1)
-            prob = jnp.moveaxis(bilinear_resize(x, shape[0], shape[1]), -1, 0)
+            # host-side non-antialiased bilinear: torch-parity on DOWNsample
+            # (the "plus" configs save at a smaller size than they process;
+            # jax.image.resize 'linear' would antialias there)
+            from cutie_tpu.ops.resize import bilinear_resize_np
+            prob = bilinear_resize_np(np.asarray(prob), shape[0], shape[1])
         prob = np.asarray(prob)
         mask = prob.argmax(axis=0)
         if not self.save_scores:

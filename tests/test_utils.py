@@ -117,3 +117,22 @@ def test_aggregate_matches_reference_formula():
                          1).clamp(1e-7, 1 - 1e-7)
     theirs = torch.log(new_prob / (1 - new_prob)).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_resize_np_matches_torch():
+    """Host bilinear twin == torch F.interpolate(bilinear, no antialias) in
+    BOTH directions — jax.image.resize 'linear' antialiases on downsample
+    (~0.5 max diff), which is why the max_internal_size input path and the
+    saver's output resize use this twin (inference_core.py / results.py)."""
+    import torch
+    import torch.nn.functional as F
+
+    from cutie_tpu.ops.resize import bilinear_resize_np
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 3, 97, 131).astype(np.float32)
+    for oh, ow in [(48, 65), (194, 262), (97, 131), (270, 480)]:
+        ref = F.interpolate(torch.tensor(x), size=(oh, ow), mode="bilinear",
+                            align_corners=False).numpy()
+        np.testing.assert_allclose(bilinear_resize_np(x, oh, ow), ref,
+                                   atol=2e-5)
