@@ -10,7 +10,8 @@ import pytest
 from tests.conftest import require_golden
 
 
-def _build_core(use_long_term: bool, flip_aug: bool = False):
+def _build_core(use_long_term: bool, flip_aug: bool = False,
+                max_internal_size: int = -1):
     from cutie_tpu.config import Config, eval_config
     from cutie_tpu.inference import InferenceCore
     from cutie_tpu.models import CUTIE
@@ -24,6 +25,7 @@ def _build_core(use_long_term: bool, flip_aug: bool = False):
     cfg.merge({
         "mem_every": 3, "top_k": 30, "stagger_updates": 5, "flip_aug": flip_aug,
         "use_long_term": use_long_term, "max_mem_frames": 3,
+        "max_internal_size": max_internal_size,
         "long_term": {"count_usage": True, "max_mem_frames": 4,
                       "min_mem_frames": 2, "num_prototypes": 32,
                       "max_num_tokens": 256, "buffer_tokens": 64},
@@ -37,10 +39,11 @@ def _build_core(use_long_term: bool, flip_aug: bool = False):
     return InferenceCore(bundle, cfg)
 
 
-def _run_stream(tag: str, use_long_term: bool, flip_aug: bool = False):
+def _run_stream(tag: str, use_long_term: bool, flip_aug: bool = False,
+                max_internal_size: int = -1):
     rec = dict(np.load(require_golden(f"stream_small_{tag}.npz")))
     frames, mask0, ref_probs = rec["frames"], rec["mask0"], rec["probs"]
-    core = _build_core(use_long_term, flip_aug)
+    core = _build_core(use_long_term, flip_aug, max_internal_size)
 
     t = frames.shape[0]
     agree = []
@@ -67,6 +70,15 @@ def _run_stream(tag: str, use_long_term: bool, flip_aug: bool = False):
 
 def test_stream_working_memory_parity():
     _run_stream("work", use_long_term=False)
+
+
+def test_stream_internal_resize_parity():
+    """192x256 video processed at max_internal_size=96 (the GUI's mode of
+    operation): pins the host-side non-antialiased input downsample and the
+    device output upsample against the reference end to end. (The antialias
+    parity bug in the input resize survived round 1 precisely because no
+    fixture exercised this path.)"""
+    _run_stream("resize", use_long_term=False, max_internal_size=96)
 
 
 def test_stream_long_term_parity():

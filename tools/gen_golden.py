@@ -118,7 +118,8 @@ def synth_frames(t: int, h: int, w: int, seed: int = 3):
 
 
 def gen_stream(model, out_dir, variant: str, use_long_term: bool, tag: str,
-               t: int = 12, h: int = 96, w: int = 128, flip_aug: bool = False):
+               t: int = 12, h: int = 96, w: int = 128, flip_aug: bool = False,
+               max_internal_size: int = -1):
     """Stream a synthetic video through the reference InferenceCore."""
     import torch
     from omegaconf import AttrDict  # our stub
@@ -126,7 +127,8 @@ def gen_stream(model, out_dir, variant: str, use_long_term: bool, tag: str,
 
     cfg = AttrDict({
         "mem_every": 3, "stagger_updates": 5, "chunk_size": -1, "save_aux": False,
-        "max_internal_size": -1, "flip_aug": flip_aug, "use_long_term": use_long_term,
+        "max_internal_size": max_internal_size,
+        "flip_aug": flip_aug, "use_long_term": use_long_term,
         "top_k": 30, "max_mem_frames": 3,
         "long_term": {"count_usage": True, "max_mem_frames": 4, "min_mem_frames": 2,
                       "num_prototypes": 32, "max_num_tokens": 256,
@@ -249,6 +251,8 @@ def main():
 
     gen_stream(model, out_dir, args.variant, use_long_term=False, tag="work")
     gen_stream(model, out_dir, args.variant, use_long_term=True, tag="lt", t=24)
+    gen_stream(model, out_dir, args.variant, use_long_term=False, tag="resize",
+               h=192, w=256, max_internal_size=96)
     gen_stream(model, out_dir, args.variant, use_long_term=False, tag="flip",
                flip_aug=True)
 
