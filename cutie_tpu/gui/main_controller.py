@@ -134,29 +134,47 @@ class MainController:
         self.propagating = True
         # memorize the current (possibly interacted) frame
         self.processor.clear_sensory_memory()
-        image_chw = np.transpose(self.curr_image.astype(np.float32) / 255.0,
-                                 (2, 0, 1))
-        self.processor.step(image_chw, self.curr_prob[1:], idx_mask=False)
+        # uint8 HWC goes straight to the device fast path (4x less upload
+        # than float CHW; layout/normalize happen on device — bit-identical
+        # since u8/255 is exact in fp32)
+        self.processor.step(np.ascontiguousarray(self.curr_image),
+                            self.curr_prob[1:], idx_mask=False)
         self.save_current_mask()
 
-        n = 0
-        for image_np, ti in PropagationReader(self.res_man, self.curr_ti,
-                                              direction):
-            if not self.propagating:
-                break
-            image_chw = np.transpose(image_np.astype(np.float32) / 255.0,
-                                     (2, 0, 1))
-            prob = self.processor.step(image_chw)
-            prob_np = np.asarray(prob)
+        # the D2H fetch of each frame's probabilities pays a fixed RPC
+        # latency on remote/tunneled TPUs — and strictly-serial fetches can
+        # hit a pathological slow path there. Fetch in a small worker pool
+        # (parallel RPCs overlap reliably) and drain results IN ORDER on
+        # this thread for the state updates/saves/UI.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def finish(prob_np, image_np, ti):
             self.curr_ti = ti
             self.curr_image = image_np
             self._set_prob_padded(prob_np)
             self._prob_to_mask()
             self.save_current_mask()
             self._notify()
-            n += 1
-            if 0 < max_frames <= n:
-                break
+
+        n = 0
+        inflight = deque()  # (fetch future, image_np, ti), submission order
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for image_np, ti in PropagationReader(self.res_man, self.curr_ti,
+                                                  direction):
+                if not self.propagating:
+                    break
+                prob = self.processor.step(np.ascontiguousarray(image_np))
+                inflight.append((pool.submit(np.asarray, prob), image_np, ti))
+                while len(inflight) > 2:
+                    fut, img, t = inflight.popleft()
+                    finish(fut.result(), img, t)
+                n += 1
+                if 0 < max_frames <= n:
+                    break
+            while inflight:
+                fut, img, t = inflight.popleft()
+                finish(fut.result(), img, t)
         self.propagating = False
 
     def stop_propagation(self):
@@ -172,9 +190,8 @@ class MainController:
 
     def on_commit(self):
         """Commit to permanent memory (main_controller.py:351-368)."""
-        image_chw = np.transpose(self.curr_image.astype(np.float32) / 255.0,
-                                 (2, 0, 1))
-        self.processor.step(image_chw, self.curr_prob[1:], idx_mask=False,
+        self.processor.step(np.ascontiguousarray(self.curr_image),
+                            self.curr_prob[1:], idx_mask=False,
                             force_permanent=True)
         self._notify()
 
