@@ -32,6 +32,39 @@ from cutie_tpu.utils.time_estimator import TimeEstimator
 log = logging.getLogger("train")
 
 
+# package-relative subset/empty-mask index files (reference cutie/utils/subsets/)
+_SUBSETS = path.join(path.dirname(path.abspath(__file__)), "utils", "subsets")
+
+
+def _subset(name: str) -> str:
+    return path.join(_SUBSETS, name)
+
+
+# data presets (reference cutie/config/data/{base,with-mose,mega}.yaml):
+# each sets the main-training dataset mix + iteration schedule
+DATA_PRESETS = {
+    "base": {"datasets": ["DAVIS", "YouTubeVOS"],
+             "num_iterations": 125000, "lr_schedule_steps": [100000, 115000]},
+    "with-mose": {"datasets": ["DAVIS", "YouTubeVOS", "MOSE"],
+                  "num_iterations": 125000,
+                  "lr_schedule_steps": [100000, 115000]},
+    "mega": {"datasets": ["DAVIS", "YouTubeVOS", "MOSE", "BURST", "OVIS"],
+             "num_iterations": 175000,
+             "lr_schedule_steps": [140000, 160000]},
+}
+
+
+def apply_data_preset(cfg: Config, preset: str) -> None:
+    """Overlay a data preset onto cfg (hydra `data=<preset>` group semantics:
+    the group writes into main_training's schedule, cutie/config/data/mega.yaml)."""
+    p = DATA_PRESETS[preset]
+    cfg.data.main_training.merge({"datasets": list(p["datasets"]),
+                                  "num_iterations": p["num_iterations"],
+                                  "lr_schedule_steps": list(p["lr_schedule_steps"])})
+    cfg.main_training.merge({"num_iterations": p["num_iterations"],
+                             "lr_schedule_steps": list(p["lr_schedule_steps"])})
+
+
 def train_config() -> Config:
     """Mirrors reference cutie/config/train_config.yaml + data/base.yaml."""
     return Config({
@@ -57,20 +90,44 @@ def train_config() -> Config:
                 "BIG": {"directory": "BIG_small", "data_structure": 1, "multiplier": 5},
                 "HRSOD": {"directory": "HRSOD_small", "data_structure": 1, "multiplier": 5},
             },
+            "preset": "base",
             "vos_datasets": {
+                # full registry, reference cutie/config/data/datasets.yaml:28-80
                 "base": "../",
                 "DAVIS": {
                     "image_directory": "DAVIS/2017/trainval/JPEGImages/480p",
                     "mask_directory": "DAVIS/2017/trainval/Annotations/480p",
                     "multiplier": 2, "frame_interval": 2,
-                    "subset": "./cutie_tpu/utils/subsets/davis_train.txt",
-                    "empty_masks": None,
+                    "subset": _subset("davis_train.txt"),
+                    "empty_masks": _subset("davis_empty_masks.txt"),
                 },
                 "YouTubeVOS": {
                     "image_directory": "YouTube/train/JPEGImages",
                     "mask_directory": "YouTube/train/Annotations",
                     "multiplier": 1, "frame_interval": 5,
-                    "subset": None, "empty_masks": None,
+                    "subset": _subset("yv_train.txt"),
+                    "empty_masks": _subset("yv_empty_masks.txt"),
+                },
+                "MOSE": {
+                    "image_directory": "MOSE/train/JPEGImages",
+                    "mask_directory": "MOSE/train/Annotations",
+                    "multiplier": 1, "frame_interval": 5,
+                    "subset": None,
+                    "empty_masks": _subset("mose_empty_masks.txt"),
+                },
+                "BURST": {
+                    "image_directory": "BURST/train-vos/JPEGImages",
+                    "mask_directory": "BURST/train-vos/Annotations",
+                    "multiplier": 1, "frame_interval": 5,
+                    "subset": None,
+                    "empty_masks": _subset("burst_empty_masks.txt"),
+                },
+                "OVIS": {
+                    "image_directory": "OVIS-VOS-train/JPEGImages",
+                    "mask_directory": "OVIS-VOS-train/Annotations",
+                    "multiplier": 1, "frame_interval": 3,
+                    "subset": None,
+                    "empty_masks": _subset("ovis_empty_masks.txt"),
                 },
             },
             "pre_training": {"datasets": ["FSS", "DUTS_TR", "DUTS_TE", "ECSSD",
@@ -120,7 +177,13 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
     seed = cfg.seed + (0 if stage == "pre_training" else 1)
     single_object = (stage_cfg.num_objects == 1
                      and cfg.get("single_object_pretraining", True))
-    model = CUTIE(cfg, single_object=single_object)
+    # amp: True -> bf16 compute with fp32 master params (the TPU equivalent of
+    # the reference's autocast+GradScaler, cutie/model/trainer.py:64,137; the
+    # fp32 islands — affinity/softmax, GRUs, final logits, summarizer pooling —
+    # are enforced inside the modules regardless of this dtype)
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if stage_cfg.amp else jnp.float32
+    model = CUTIE(cfg, single_object=single_object, dtype=dtype)
 
     # DP mesh over as many devices as the local batch divides across
     import math as _math
@@ -194,6 +257,12 @@ def main():
     cfg.apply_overrides(sys.argv[1:])
     if isinstance(cfg.get("model"), str):
         cfg.model = model_small() if cfg.model == "small" else model_base()
+    # data=<preset> group (base / with-mose / mega) overlays the main-training
+    # dataset mix + iteration schedule, then explicit CLI overrides re-apply on
+    # top so `data.preset=mega main_training.num_iterations=...` still wins
+    if cfg.data.preset != "base":
+        apply_data_preset(cfg, cfg.data.preset)
+        cfg.apply_overrides(sys.argv[1:])
 
     run_path = path.join("output", cfg.exp_id)
     logger = TensorboardLogger(path.join(run_path, "tb"),

@@ -70,6 +70,43 @@ def test_train_step_runs_and_descends():
     assert float(li["total_loss"]) < float(l0["total_loss"])
 
 
+def test_train_step_bf16_amp_descends():
+    """amp=True must actually switch compute to bf16 (fp32 master params) and
+    still descend — the TPU equivalent of reference autocast+GradScaler
+    (cutie/model/trainer.py:64,137)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.config import eval_config
+    from cutie_tpu.models import CUTIE
+    from cutie_tpu.training.trainer import Trainer
+    from cutie_tpu.utils.get_default_model import init_variables
+
+    cfg = eval_config("small")
+    stage = _tiny_stage()
+    stage.amp = True
+    model = CUTIE(cfg, dtype=jnp.bfloat16)
+    variables = init_variables(model, image_size=64, num_objects=2)
+
+    # compute dtype really is bf16 (backbone output), params stay fp32
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ms_feat, pix_feat = model.apply(variables, img, method="encode_image")
+    assert ms_feat[0].dtype == jnp.bfloat16
+    assert pix_feat.dtype == jnp.bfloat16
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(variables["params"]))
+
+    trainer = Trainer(cfg=cfg, stage_cfg=stage, model=model, variables=variables)
+    data = _tiny_data(2, 3, 64, 2)
+    l0 = trainer.do_pass(data, 0, jax.random.PRNGKey(0))
+    assert np.isfinite(float(l0["total_loss"]))
+    for i in range(1, 6):
+        li = trainer.do_pass(data, i, jax.random.PRNGKey(i))
+    assert float(li["total_loss"]) < float(l0["total_loss"])
+    # master params stay fp32 after updates
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(trainer.params))
+
+
 def test_dryrun_multichip_8dev():
     import jax
 
