@@ -25,7 +25,8 @@ import numpy as np
 
 from cutie_tpu.inference.image_feature_store import ImageFeatureStore
 from cutie_tpu.inference.object_manager import ObjectManager
-from cutie_tpu.inference.state import MemoryState, grow_perm, init_state, pad_objects
+from cutie_tpu.inference.state import (MemoryState, grow_perm, init_state,
+                                       pad_objects, resize_work_ring)
 from cutie_tpu.inference.steps import StepFunctions
 from cutie_tpu.ops.resize import (bilinear_resize, bilinear_resize_np,
                                   nearest_exact_resize_np)
@@ -165,8 +166,18 @@ class InferenceCore:
             self.min_mem_frames = cfg["long_term"]["min_mem_frames"] - 1
             self.max_long_tokens = cfg["long_term"]["max_num_tokens"]
             self.buffer_tokens = cfg["long_term"]["buffer_tokens"]
+            new_ring = self.max_mem_frames + 1
         else:
             self.max_mem_frames = cfg["max_mem_frames"] - 1
+            new_ring = max(self.max_mem_frames, 1)
+        if new_ring != self.ring_frames:
+            # re-allocate the ring so raised budgets actually take effect
+            # (reference memory grows live, memory_manager.py:59-75; the GUI
+            # work-memory spinboxes funnel here, main_controller.py:532-540)
+            self.ring_frames = new_ring
+            if self.state is not None:
+                self.state = resize_work_ring(self.state, new_ring)
+                self._work_count = min(self._work_count, new_ring)
 
     # -------------------------------------------------------------- internals
 

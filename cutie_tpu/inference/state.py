@@ -128,6 +128,46 @@ def pad_objects(state: MemoryState, new_max_objects: int) -> MemoryState:
     )
 
 
+def resize_work_ring(state: MemoryState, new_frames: int) -> MemoryState:
+    """Re-allocate the working-memory ring to `new_frames` frame slots,
+    preserving FIFO order (host-side, one recompile of the step graphs).
+
+    Supports runtime max_mem_frames updates (reference
+    memory_manager.py:59-75: the GUI spinboxes grow/shrink the working-memory
+    budget live). Stored frames are unrolled to chronological order (oldest at
+    slot 0); on shrink the oldest frames are dropped — the same frames the
+    reference's next remove_old_memory sieve would evict."""
+    f = state.work_key.shape[1]
+    if new_frames == f:
+        return state
+    start = int(state.work_start)
+    count = int(state.work_count)
+    keep = min(count, new_frames)
+    # chronological slot order, newest `keep` kept
+    src = [(start + i) % f for i in range(count)][count - keep:]
+    src = src + [0] * (new_frames - keep)  # filler slots (masked invalid)
+    idx = jnp.asarray(src, jnp.int32)
+    live = jnp.arange(new_frames) < keep
+
+    def take(x, axis):
+        moved = jnp.take(x, idx, axis=axis)
+        shape = [1] * moved.ndim
+        shape[axis] = -1
+        return moved * live.reshape(shape).astype(moved.dtype)
+
+    return state.replace(
+        work_key=take(state.work_key, 1),
+        work_shrink=take(state.work_shrink, 1),
+        work_sel=take(state.work_sel, 1),
+        work_value=take(state.work_value, 2),
+        work_obj_valid=take(state.work_obj_valid.astype(jnp.float32), 1) > 0.5,
+        work_start=jnp.zeros((), jnp.int32),
+        work_count=jnp.asarray(keep, jnp.int32),
+        work_use=take(state.work_use, 1),
+        work_life=take(state.work_life, 1),
+    )
+
+
 def grow_perm(state: MemoryState, new_perm_tokens: int) -> MemoryState:
     """Grow the permanent buffer capacity (host-side, for repeated commits)."""
     def grow(x, axis):
