@@ -39,7 +39,7 @@ def _install_omegaconf_stub():
     return AttrDict
 
 
-def build_reference_model(variant: str, seed: int = 1234):
+def build_reference_model(variant: str, seed: int = 1234, fp16_weights: bool = False):
     AttrDict = _install_omegaconf_stub()
     sys.path.insert(0, str(REFERENCE))
 
@@ -90,6 +90,26 @@ def build_reference_model(variant: str, seed: int = 1234):
         if isinstance(m, torch.nn.BatchNorm2d):
             m.running_mean = torch.randn(m.running_mean.shape, generator=g) * 0.05
             m.running_var = 0.5 + torch.rand(m.running_var.shape, generator=g)
+    if variant == "base":
+        # condition the random KeyProjection weights: the reference's top-k
+        # softmax exponentiates WITHOUT max subtraction
+        # (cutie/model/utils/memory_utils.py:60-61), which is only finite
+        # because *trained* similarities are O(10). Random R50-scale features
+        # drive sim to ~2e6 -> exp overflow -> NaN streams. Scaling the key &
+        # shrinkage projections restores trained-like similarity magnitudes;
+        # parity is unaffected (both sides load the identical state dict).
+        with torch.no_grad():
+            kp = model.key_proj
+            for mod, s in ((kp.key_proj, 1 / 70), (kp.d_proj, 1 / 30)):
+                mod.weight.mul_(s)
+                if mod.bias is not None:
+                    mod.bias.mul_(s)
+    if fp16_weights:
+        # round all params/buffers to fp16-representable values BEFORE the
+        # reference forward runs: the fixture then ships fp16 tensors (half
+        # the bytes) while parity stays exact (both sides load identical
+        # values; compute remains fp32 on both sides)
+        model.half().float()
     return model, cfg
 
 
@@ -156,11 +176,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="small", choices=["small", "base"])
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--fp16-weights", action="store_true",
+                    help="round weights to fp16 values and store the state "
+                         "dict as fp16 (halves fixture size, parity exact)")
+    ap.add_argument("--variant-only", action="store_true",
+                    help="emit only the variant-specific fixtures (stages, "
+                         "state dict, streams); skip shared ritm/resnet/"
+                         "memory-math fixtures")
     args = ap.parse_args()
 
     import torch
 
-    model, _ = build_reference_model(args.variant)
+    model, _ = build_reference_model(args.variant, fp16_weights=args.fp16_weights)
     out_dir = REPO / "tests" / "golden"
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -228,39 +255,43 @@ def main():
 
     np.savez_compressed(out_dir / f"stages_{args.variant}.npz", **rec)
 
-    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    sd_dtype = np.float16 if args.fp16_weights else None
+    sd = {k: (v.numpy().astype(sd_dtype) if sd_dtype else v.numpy())
+          for k, v in model.state_dict().items()}
     np.savez_compressed(out_dir / f"state_dict_{args.variant}.npz", **sd)
 
-    # standalone memory-math fixture (memory_utils parity incl. top-k)
-    from cutie.model.utils.memory_utils import do_softmax, get_similarity, readout
-    torch.manual_seed(11)
-    Nmem, P = 300, 100  # memory tokens = T(3) x 10 x 10; queries = 10 x 10
-    mk = torch.randn(1, CK, Nmem)
-    ms = torch.rand(1, 1, Nmem) * 2 + 1
-    qk = torch.randn(1, CK, P)
-    qe = torch.rand(1, CK, P)
-    sim = get_similarity(mk, ms, qk, qe)
-    aff, usage = do_softmax(sim.clone(), top_k=30, inplace=False, return_usage=True)
-    mv = torch.randn(1, CV, 3, 10, 10)  # N = 300 tokens as T*H*W
-    rd = readout(aff, mv)
-    np.savez_compressed(
-        out_dir / "memory_math.npz",
-        mk=mk.numpy(), ms=ms.numpy(), qk=qk.numpy(), qe=qe.numpy(),
-        sim=sim.numpy(), aff=aff.numpy(), usage=usage.numpy(),
-        mv=mv.numpy(), rd=rd.numpy())
+    if not args.variant_only:
+        # standalone memory-math fixture (memory_utils parity incl. top-k)
+        from cutie.model.utils.memory_utils import do_softmax, get_similarity, readout
+        torch.manual_seed(11)
+        Nmem, P = 300, 100  # memory tokens = T(3) x 10 x 10; queries = 10 x 10
+        mk = torch.randn(1, CK, Nmem)
+        ms = torch.rand(1, 1, Nmem) * 2 + 1
+        qk = torch.randn(1, CK, P)
+        qe = torch.rand(1, CK, P)
+        sim = get_similarity(mk, ms, qk, qe)
+        aff, usage = do_softmax(sim.clone(), top_k=30, inplace=False, return_usage=True)
+        mv = torch.randn(1, CV, 3, 10, 10)  # N = 300 tokens as T*H*W
+        rd = readout(aff, mv)
+        np.savez_compressed(
+            out_dir / "memory_math.npz",
+            mk=mk.numpy(), ms=ms.numpy(), qk=qk.numpy(), qe=qe.numpy(),
+            sim=sim.numpy(), aff=aff.numpy(), usage=usage.numpy(),
+            mv=mv.numpy(), rd=rd.numpy())
 
     gen_stream(model, out_dir, args.variant, use_long_term=False, tag="work")
     gen_stream(model, out_dir, args.variant, use_long_term=True, tag="lt", t=24)
-    gen_stream(model, out_dir, args.variant, use_long_term=False, tag="resize",
-               h=192, w=256, max_internal_size=96)
-    gen_stream(model, out_dir, args.variant, use_long_term=False, tag="flip",
-               flip_aug=True)
+    if not args.variant_only:
+        gen_stream(model, out_dir, args.variant, use_long_term=False, tag="resize",
+                   h=192, w=256, max_internal_size=96)
+        gen_stream(model, out_dir, args.variant, use_long_term=False, tag="flip",
+                   flip_aug=True)
 
-    gen_stream_add_del(model, out_dir, args.variant)
-    gen_ritm(out_dir)
-    gen_resnet50_trunk(out_dir)
-    gen_deeplab_shapes(out_dir)
-    gen_ritm_train_losses(out_dir)
+        gen_stream_add_del(model, out_dir, args.variant)
+        gen_ritm(out_dir)
+        gen_resnet50_trunk(out_dir)
+        gen_deeplab_shapes(out_dir)
+        gen_ritm_train_losses(out_dir)
 
     print(f"Wrote fixtures for {args.variant} to {out_dir}")
 
