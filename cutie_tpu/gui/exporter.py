@@ -18,7 +18,11 @@ log = logging.getLogger(__name__)
 
 
 def convert_frames_to_video(input_dir: str, output_path: str, fps: int = 24,
+                            bitrate_mbps: int = 1,
                             progress_callback=None) -> bool:
+    """bitrate_mbps mirrors the reference PyAV exporter's Mbps dial
+    (gui/exporter.py:10-36); cv2.VideoWriter has no bitrate control, so it is
+    accepted for API parity and recorded in the log line."""
     frames = sorted(os.listdir(input_dir))
     frames = [f for f in frames if f.lower().endswith((".jpg", ".png"))]
     if not frames:

@@ -64,6 +64,10 @@ class MainController:
         self.interaction: Optional[ClickInteraction] = None
         self.layer: Optional[np.ndarray] = None
         self.propagating = False
+        # reference main_controller.py:92 — soft-mask dumps are opt-in
+        self.save_soft_mask = bool(cfg.get("save_soft_mask", False))
+        self.output_fps = cfg.get("output_fps", 24)
+        self.output_bitrate = cfg.get("output_bitrate", 1)
 
         self.curr_image: Optional[np.ndarray] = None
         self.curr_mask = np.zeros((self.h, self.w), np.uint8)
@@ -224,9 +228,21 @@ class MainController:
 
     def save_current_mask(self):
         self.res_man.save_mask(self.curr_ti, self.curr_mask)
-        self.res_man.save_soft_mask(self.curr_ti, self.curr_prob)
+        if self.save_soft_mask:
+            # opt-in, like the reference's save-soft-mask checkbox
+            # (gui/main_controller.py:229-230,606-607)
+            self.res_man.save_soft_mask(self.curr_ti, self.curr_prob)
         vis = self.visualize(self.vis_mode)
         self.res_man.save_visualization(self.curr_ti, self.vis_mode, vis)
+
+    def on_save_soft_mask_toggle(self, enabled: bool):
+        self.save_soft_mask = bool(enabled)
+
+    def on_fps_change(self, fps: int):
+        self.output_fps = int(fps)
+
+    def on_bitrate_change(self, mbps: int):
+        self.output_bitrate = int(mbps)
 
     def visualize(self, mode: Optional[str] = None) -> np.ndarray:
         mode = mode or self.vis_mode
@@ -260,8 +276,8 @@ class MainController:
         from os import path
         vis_dir = path.join(self.res_man.visualization_dir, self.vis_mode)
         out = path.join(self.res_man.workspace, f"{self.vis_mode}.mp4")
-        return convert_frames_to_video(vis_dir, out,
-                                       fps=fps or self.cfg.get("output_fps", 24))
+        return convert_frames_to_video(vis_dir, out, fps=fps or self.output_fps,
+                                       bitrate_mbps=self.output_bitrate)
 
     def export_binary_masks(self, target_objects):
         from cutie_tpu.gui.exporter import convert_mask_to_binary
