@@ -213,9 +213,21 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
     it = trainer.it
     rng = jax.random.PRNGKey(seed)
     epoch = 0
+    def split_host_keys(data):
+        """Host-side extras (vis / bookkeeping) stay numpy; the rest uploads."""
+        data.pop("info", None)
+        cls_gt = data.pop("cls_gt", None)
+        return data, cls_gt, data.get("frames")
+
     try:
         while it < total_iter:
-            for data in loader.epoch(epoch):
+            batches = iter(loader.epoch(epoch))
+            nxt = next(batches, None)
+            if nxt is not None:
+                nxt = split_host_keys(nxt)
+                nxt = (trainer.upload_batch(nxt[0]),) + nxt[1:]
+            while nxt is not None:
+                data_dev, cls_gt, host_frames = nxt
                 # max_skip curriculum: rebuild the loader at schedule points
                 # (train.py:102-119,142-149)
                 if (stage == "main_training"
@@ -225,14 +237,27 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
                     loader = build_loader(max_skip_values[skip_i])
                     break
                 rng, k = jax.random.split(rng)
-                data.pop("info", None)
-                data.pop("cls_gt", None)
-                losses = trainer.do_pass(data, it, k)
+                losses = trainer.do_pass(data_dev, it, k)  # async dispatch
+                # prefetch the next batch while this step computes (device_put
+                # is async; the implicit in-call transfer would serialize)
+                nxt = next(batches, None)
+                if nxt is not None:
+                    nxt = split_host_keys(nxt)
+                    nxt = (trainer.upload_batch(nxt[0]),) + nxt[1:]
                 integrator.add_dict(losses)
                 it += 1
                 if it % cfg.log_text_interval == 0:
                     integrator.finalize(f"train/{stage}", it)
                     integrator.reset_except_hooks()
+                if (it % cfg.log_image_interval == 0 and cls_gt is not None
+                        and jax.process_index() == 0):
+                    # image/GT/prediction grids (reference trainer.py:113-118)
+                    from cutie_tpu.utils.image_saver import vis_sequence
+                    grid = vis_sequence(
+                        {"frames": np.asarray(host_frames),
+                         "cls_gt": np.asarray(cls_gt)},
+                        np.asarray(trainer.last_logits))
+                    logger.log_image(f"train/{stage}", grid, it)
                 if it % cfg.save_weights_interval == 0 and jax.process_index() == 0:
                     trainer.save_weights(path.join(run_path, f"weights_{it}.npz"))
                 if it % cfg.save_checkpoint_interval == 0 and jax.process_index() == 0:

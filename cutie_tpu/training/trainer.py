@@ -113,13 +113,14 @@ class Trainer:
             if "q_logits" in out:
                 loss_in["q_logits"] = out["q_logits"]
             losses = loss_computer.compute(k_loss, loss_in, data["selector"])
-            return losses["total_loss"], losses
+            return losses["total_loss"], (losses, out["logits"])
 
         def train_step(params, opt_state, data, rng):
-            grads, losses = jax.grad(loss_fn, has_aux=True)(params, data, rng)
+            grads, (losses, logits) = jax.grad(
+                loss_fn, has_aux=True)(params, data, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, losses
+            return params, opt_state, losses, logits
 
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -127,22 +128,34 @@ class Trainer:
             self._train_step = jax.jit(
                 train_step,
                 in_shardings=(repl, repl, dsh, repl),
-                out_shardings=(repl, repl, repl),
+                out_shardings=(repl, repl, repl, dsh),
                 donate_argnums=(0, 1))
             self.params = jax.device_put(self.params, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
+    def upload_batch(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        """Async H2D of a host batch (device_put returns immediately); use to
+        prefetch batch i+1 while step i computes — the implicit transfer
+        inside the jit call would otherwise serialize with compute."""
+        if self.mesh is not None:
+            from cutie_tpu.parallel.mesh import shard_batch
+            return shard_batch(self.mesh, data)
+        return jax.device_put(data)
+
     def do_pass(self, data: Dict[str, jnp.ndarray], it: int,
                 rng: jax.Array) -> Dict[str, jnp.ndarray]:
         """One optimization step. data must contain frames / first_frame_gt /
         selector / soft_gt (host-built one-hot of cls_gt for frames 1..T-1)."""
-        if self.mesh is not None:
+        if self.mesh is not None and not isinstance(data["frames"], jax.Array):
             from cutie_tpu.parallel.mesh import shard_batch
             data = shard_batch(self.mesh, data)
-        self.params, self.opt_state, losses = self._train_step(
+        self.params, self.opt_state, losses, logits = self._train_step(
             self.params, self.opt_state, data, rng)
+        # vis grids every log_image_interval (reference trainer.py:113-118)
+        # fetch the device array only when asked — free otherwise (async)
+        self.last_logits = logits
         self.it = it
         return losses
 

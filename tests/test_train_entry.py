@@ -76,8 +76,13 @@ def test_two_stage_training_entry(data_roots, tmp_path):
         "max_skip_schedule": [2], "max_skip_schedule_fraction": [0.0],
     })
 
+    cfg.log_image_interval = 2
+
     run_path = str(tmp_path / "run")
     logger = TensorboardLogger(None, enabled=False)
+    logged_images = []
+    logger.log_image = lambda tag, img, it: logged_images.append(
+        (tag, img.shape, img.dtype))
 
     from cutie_tpu.models import CUTIE
     from cutie_tpu.utils.get_default_model import init_variables
@@ -98,3 +103,9 @@ def test_two_stage_training_entry(data_roots, tmp_path):
     variables = run_stage(cfg, cfg.main_training, variables, run_path, logger)
     assert path.exists(path.join(run_path, "weights_main_training_final.npz"))
     assert path.exists(path.join(run_path, "checkpoint_final.pkl"))
+
+    # training vis grids were dumped at log_image_interval
+    # (reference cutie/model/trainer.py:113-118)
+    assert logged_images, "no vis grids logged"
+    tag, shape, dtype = logged_images[0]
+    assert str(dtype) == "uint8" and shape[-1] == 3 and shape[0] > 0

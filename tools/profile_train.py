@@ -8,8 +8,10 @@ Usage: python tools/profile_train.py [--dtype fp32|bf16|both] [--batch 2]
 """
 import argparse
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cutie_tpu_jax_cache")
 
 import jax
@@ -33,7 +35,8 @@ def make_data(b, t, hw, o, seed=0):
     }
 
 
-def profile(amp: bool, batch: int, t: int, hw: int, o: int, steps: int = 10):
+def profile(amp: bool, batch: int, t: int, hw: int, o: int, steps: int = 10,
+            remat: bool = True):
     from cutie_tpu.config import Config, eval_config
     from cutie_tpu.models import CUTIE
     from cutie_tpu.training.trainer import Trainer
@@ -48,7 +51,7 @@ def profile(amp: bool, batch: int, t: int, hw: int, o: int, steps: int = 10):
         "oversample_ratio": 3.0, "importance_sample_ratio": 0.75,
         "clip_grad_norm": 3.0, "weight_decay": 0.001,
         "embed_weight_decay": 0.0, "backbone_lr_ratio": 0.1,
-        "num_ref_frames": 3, "seq_length": t, "remat": True,
+        "num_ref_frames": 3, "seq_length": t, "remat": remat,
         "num_objects": o, "deep_update_prob": 0.2, "crop_size": [hw, hw],
     })
     dtype = jnp.bfloat16 if amp else jnp.float32
@@ -57,6 +60,10 @@ def profile(amp: bool, batch: int, t: int, hw: int, o: int, steps: int = 10):
     trainer = Trainer(cfg=cfg, stage_cfg=stage, model=model, variables=variables)
 
     data = make_data(batch, t, hw, o)
+    # pre-upload the batch: the tunnel H2D of ~90MB/step would otherwise
+    # dominate the measurement (production runs prefetch H2D behind compute)
+    data = jax.device_put(data)
+    jax.block_until_ready(data["frames"])
     tag = "bf16" if amp else "fp32"
     t0 = time.perf_counter()
     losses = trainer.do_pass(data, 0, jax.random.PRNGKey(0))
@@ -90,15 +97,18 @@ def main():
     ap.add_argument("--size", type=int, default=480)
     ap.add_argument("--objects", type=int, default=3)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--no-remat", action="store_true")
     args = ap.parse_args()
 
     meds = {}
     if args.dtype in ("fp32", "both"):
         meds["fp32"] = profile(False, args.batch, args.seq, args.size,
-                               args.objects, args.steps)
+                               args.objects, args.steps,
+                               remat=not args.no_remat)
     if args.dtype in ("bf16", "both"):
         meds["bf16"] = profile(True, args.batch, args.seq, args.size,
-                               args.objects, args.steps)
+                               args.objects, args.steps,
+                               remat=not args.no_remat)
     if len(meds) == 2:
         print(f"bf16 speedup: {meds['fp32'] / meds['bf16']:.2f}x")
 
