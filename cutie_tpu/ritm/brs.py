@@ -99,19 +99,28 @@ def brs_mask_loss(result, pos_mask, neg_mask, eps=1e-5):
 
 
 class HRNetFeatureBRSPredictor(Predictor):
-    """(brs.py:157-246, insertion mode 'A'). NoBRS falls back automatically
-    when no optimization is needed (first click)."""
+    """(brs.py:157-252). insertion_mode 'A' = scale/bias on the aggregated
+    HRNet features before the OCR heads (f-BRS-A / f-BRS-B); 'C' = on the
+    OCR-refined features before cls_head (f-BRS-C). NoBRS falls back
+    automatically when no optimization is needed (first click)."""
 
     def __init__(self, model, variables, *, opt_functor: ScaleBiasOptimizer,
-                 optimize_after_n_clicks=1, **kwargs):
+                 optimize_after_n_clicks=1, insertion_mode: str = "A", **kwargs):
         super().__init__(model, variables, **kwargs)
         self.opt_functor = opt_functor
         self.optimize_after_n_clicks = optimize_after_n_clicks
-        self.num_channels = sum(k * model.width for k in (1, 2, 4, 8))
+        self.insertion_mode = insertion_mode
+        if insertion_mode == "A":
+            self.num_channels = sum(k * model.width for k in (1, 2, 4, 8))
+        elif insertion_mode == "C":
+            self.num_channels = 2 * model.ocr_width
+        else:
+            raise NotImplementedError(insertion_mode)
         self.opt_data = None
         self.input_data = None
         self._head_input = jax.jit(functools.partial(
-            model.apply, method="get_head_input"))
+            model.apply, method="get_head_input",
+            insertion_mode=insertion_mode))
         self._loss_grad = jax.jit(self._loss_grad_fn,
                                   static_argnames=("out_h", "out_w", "bs"))
 
@@ -140,6 +149,7 @@ class HRNetFeatureBRSPredictor(Predictor):
                 bias = jnp.concatenate([bias, bias], axis=0)
             mod = feats * scale + bias
             logits = self.model.apply(variables, mod, out_h, out_w,
+                                      insertion_mode=self.insertion_mode,
                                       method="head_from_feats")[..., 0]
             result = jax.nn.sigmoid(logits)
             pm, nm = pos_mask, neg_mask
@@ -219,4 +229,121 @@ class HRNetFeatureBRSPredictor(Predictor):
             logits = np.asarray(logits)
         # [B, Hp, Wp] -> [B, 1, H, W] (flip inverse happens in the transform
         # cascade like the reference)
+        return logits[:, None, :h, :w]
+
+
+class InputOptimizer(ScaleBiasOptimizer):
+    """(brs_functors.py:83-91): the opt vector IS an additive bias map; only
+    the unpack/regularization differs from ScaleBias (the L-BFGS driver,
+    click-satisfaction early-out, and IoU convergence are shared)."""
+
+    def unpack_bias(self, x: jnp.ndarray, shape):
+        bias = x.reshape(shape)  # [bs, H, W, C]
+        reg = self.reg_weight * jnp.sum(bias ** 2)
+        if self.with_flip:
+            bias = jnp.concatenate([bias, bias[:, :, ::-1]], axis=0)
+        return bias, reg
+
+
+class InputBRSPredictor(Predictor):
+    """(brs.py:257-317): optimizes an additive bias on the network INPUT —
+    the normalized RGB planes ('rgb', RGB-BRS) or the click dist-map channels
+    ('dmaps', DistMap-BRS) — through the full forward."""
+
+    def __init__(self, model, variables, *, opt_functor: InputOptimizer,
+                 optimize_after_n_clicks=1, optimize_target: str = "rgb",
+                 **kwargs):
+        super().__init__(model, variables, **kwargs)
+        self.opt_functor = opt_functor
+        self.optimize_after_n_clicks = optimize_after_n_clicks
+        self.optimize_target = optimize_target
+        self.num_channels = 3 if optimize_target == "rgb" else 2
+        self.opt_data = None
+        self._loss_grad = jax.jit(self._loss_grad_fn,
+                                  static_argnames=("out_h", "out_w", "bs"))
+
+    def set_input_image(self, image):
+        super().set_input_image(image)
+        self.opt_data = None
+
+    def get_states(self):
+        states = super().get_states()
+        states["opt_data"] = None if self.opt_data is None else self.opt_data.copy()
+        return states
+
+    def set_states(self, states):
+        super().set_states(states)
+        self.opt_data = states.get("opt_data")
+
+    def _loss_grad_fn(self, variables, img, pts, pos_mask, neg_mask, x, *,
+                      out_h, out_w, bs):
+        from cutie_tpu.ops.resize import bilinear_resize_align_corners
+
+        def total(xf):
+            bias, reg = self.opt_functor.unpack_bias(
+                xf, (bs, out_h, out_w, self.num_channels))
+            low = self.model.apply(variables, img, pts, bias,
+                                   target=self.optimize_target,
+                                   method="low_res_instances_with_input_bias")
+            logits = bilinear_resize_align_corners(low, out_h, out_w)[..., 0]
+            result = jax.nn.sigmoid(logits)
+            pm, nm = pos_mask, neg_mask
+            if self.with_flip and self.opt_functor.flip_average:
+                n = result.shape[0] // 2
+                result = 0.5 * (result[:n] + result[n:, :, ::-1])
+                pm, nm = pm[:n], nm[:n]
+            loss, fmp, fmn = brs_mask_loss(result, pm, nm)
+            return loss + reg, (logits, fmp, fmn)
+
+        (loss, (logits, fmp, fmn)), grad = jax.value_and_grad(
+            total, has_aux=True)(x)
+        return loss, grad, logits, fmp, fmn
+
+    _clicks_maps = HRNetFeatureBRSPredictor._clicks_maps
+
+    def _run_model(self, image_nd, points_nd, clicks_lists=None):
+        if clicks_lists is None:
+            return super()._run_model(image_nd, points_nd)
+        num_clicks = len(clicks_lists[0])
+        b, c, h, w = image_nd.shape
+        bs = b // 2 if self.with_flip else b
+        pos_mask, neg_mask = self._clicks_maps(clicks_lists, h, w)
+
+        hp = int(math.ceil(h / 32) * 32)
+        wp = int(math.ceil(w / 32) * 32)
+        n_opt = bs * hp * wp * self.num_channels
+        if self.opt_data is None or self.opt_data.shape[0] != n_opt:
+            self.opt_data = np.zeros((n_opt,), np.float32)
+
+        img = np.zeros((b, hp, wp, c), np.float32)
+        img[:, :h, :w] = np.transpose(image_nd, (0, 2, 3, 1))
+        k = points_nd.shape[1] // 2
+        kp = max(1, 1 << (k - 1).bit_length())
+        pts = np.full((b, 2 * kp, 3), -1.0, np.float32)
+        pts[:, :k] = points_nd[:, :k]
+        pts[:, kp:kp + k] = points_nd[:, k:]
+
+        pos_p = np.zeros((b, hp, wp), np.float32)
+        neg_p = np.zeros((b, hp, wp), np.float32)
+        pos_p[:, :h, :w] = pos_mask
+        neg_p[:, :h, :w] = neg_mask
+        img_j, pts_j = jnp.asarray(img), jnp.asarray(pts)
+        pos_j, neg_j = jnp.asarray(pos_p), jnp.asarray(neg_p)
+
+        def eval_fn(x):
+            return self._loss_grad(self.variables, img_j, pts_j, pos_j, neg_j,
+                                   jnp.asarray(x, jnp.float32),
+                                   out_h=hp, out_w=wp, bs=bs)
+
+        self.opt_functor.init_click(eval_fn)
+        if num_clicks > self.optimize_after_n_clicks:
+            opt_result = fmin_l_bfgs_b(func=self.opt_functor, x0=self.opt_data,
+                                       **self.opt_functor.optimizer_params)
+            self.opt_data = opt_result[0].astype(np.float32)
+
+        if self.opt_functor.best_prediction is not None:
+            logits = self.opt_functor.best_prediction
+        else:
+            _, _, logits, _, _ = eval_fn(self.opt_data)
+            logits = np.asarray(logits)
         return logits[:, None, :h, :w]

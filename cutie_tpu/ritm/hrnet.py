@@ -210,6 +210,15 @@ class HighResolutionNet(nn.Module):
     def head(self, feats):
         return self.hd(feats)
 
+    def head_ocr(self, feats):
+        """Backbone feats -> OCR-refined features (pre-cls); the f-BRS
+        insertion point 'C' (gui/ritm/inference/predictors/brs.py:244-252)."""
+        return self.hd(feats, mode="ocr")
+
+    def cls_from_ocr(self, ocr_feats):
+        """cls_head conv only, on (possibly scale/bias-modified) OCR feats."""
+        return self.hd(ocr_feats, mode="cls")
+
 
 class _HRNetBackbone(nn.Module):
     width: int = 18
@@ -290,11 +299,19 @@ class _HRNetHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray):
+    def __call__(self, feats: jnp.ndarray, mode: str = "full"):
+        """mode: 'full' -> (logits, aux); 'ocr' -> (ocr_feats, aux) — the
+        f-BRS 'C' insertion features; 'cls' -> feats are ocr_feats, apply
+        cls_head only. Parameter names are mode-independent, so every mode
+        shares the one set of weights created at init (mode='full')."""
         dt = self.dtype
         last_inp = sum(k * self.width for k in (1, 2, 4, 8))
 
         if self.ocr_width > 0:
+            if mode == "cls":
+                out = conv2d(self.num_classes, 1, dtype=dt,
+                             name="cls_head")(feats)
+                return out, None
             ocr_mid = 2 * self.ocr_width
             # these two torch convs keep their default bias (hrnet_ocr.py:250-266)
             aux = _conv_bn(feats, last_inp, 1, 1, "aux_head_0", dt, relu=True,
@@ -305,6 +322,8 @@ class _HRNetHead(nn.Module):
             context = SpatialGather(name="ocr_gather_head")(ocr_feats, out_aux)
             ocr_feats = SpatialOCR(ocr_mid, self.ocr_width, ocr_mid, dtype=dt,
                                    name="ocr_distri_head")(ocr_feats, context)
+            if mode == "ocr":
+                return ocr_feats, out_aux
             out = conv2d(self.num_classes, 1, dtype=dt, name="cls_head")(ocr_feats)
             return out, out_aux
         out = _conv_bn(feats, last_inp, 3, 1, "cls_head_0", dt, relu=True,

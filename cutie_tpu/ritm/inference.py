@@ -554,10 +554,11 @@ def get_predictor(model, variables, brs_mode: str = "NoBRS", *,
                   prob_thresh=0.49, with_flip=True, zoom_in_params=None,
                   predictor_params=None, brs_opt_func_params=None,
                   lbfgs_params=None):
-    """Predictor factory (gui/ritm/inference/predictors/__init__.py:8-75).
-    brs_mode: 'NoBRS' | 'f-BRS-A' | 'f-BRS-B' | 'f-BRS-C' (the f-BRS modes all
-    map to the HRNet feature-insertion predictor, like the reference's
-    HRNetModel path)."""
+    """Predictor factory (gui/ritm/inference/predictors/__init__.py:8-108).
+    brs_mode: 'NoBRS' | 'f-BRS-A' | 'f-BRS-B' | 'f-BRS-C' (HRNet feature
+    insertion: A/B -> mode 'A', C -> mode 'C', like the reference's HRNetModel
+    remap at __init__.py:68-74) | 'RGB-BRS' | 'DistMap-BRS' (input-bias
+    optimization through the full forward)."""
     zoom_in = ZoomIn(**zoom_in_params) if zoom_in_params is not None else None
     params = {"with_flip": with_flip, "zoom_in": zoom_in}
     if predictor_params:
@@ -571,8 +572,19 @@ def get_predictor(model, variables, brs_mode: str = "NoBRS", *,
         opt_functor = ScaleBiasOptimizer(
             optimizer_params=lbfgs_params, prob_thresh=prob_thresh,
             with_flip=with_flip, **(brs_opt_func_params or {}))
+        insertion_mode = "C" if brs_mode == "f-BRS-C" else "A"
         return HRNetFeatureBRSPredictor(model, variables,
-                                        opt_functor=opt_functor, **params)
+                                        opt_functor=opt_functor,
+                                        insertion_mode=insertion_mode, **params)
+    if brs_mode in ("RGB-BRS", "DistMap-BRS"):
+        from cutie_tpu.ritm.brs import InputBRSPredictor, InputOptimizer
+        params.setdefault("net_clicks_limit", 5)
+        opt_functor = InputOptimizer(
+            optimizer_params=lbfgs_params, prob_thresh=prob_thresh,
+            with_flip=with_flip, **(brs_opt_func_params or {}))
+        target = "dmaps" if brs_mode == "DistMap-BRS" else "rgb"
+        return InputBRSPredictor(model, variables, opt_functor=opt_functor,
+                                 optimize_target=target, **params)
     raise NotImplementedError(brs_mode)
 
 

@@ -118,14 +118,54 @@ class HRNetISModel(nn.Module):
         out, _out_aux = self.feature_extractor(x, addf)
         return out.astype(jnp.float32)
 
-    def get_head_input(self, image: jnp.ndarray, points: jnp.ndarray):
-        """Backbone features for f-BRS (brs.py:229-246): everything up to the
-        multi-resolution aggregation, before the OCR heads."""
+    def get_head_input(self, image: jnp.ndarray, points: jnp.ndarray,
+                       insertion_mode: str = "A"):
+        """f-BRS feature cache (brs.py:229-252): 'A' = multi-resolution
+        aggregation output (pre-OCR); 'C' = OCR-refined features (pre-cls)."""
         x, addf = self._stem_inputs(image, points)
-        return self.feature_extractor.backbone(x, addf)
+        feats = self.feature_extractor.backbone(x, addf)
+        if insertion_mode == "C":
+            feats, _aux = self.feature_extractor.head_ocr(feats)
+        return feats
 
-    def head_from_feats(self, feats: jnp.ndarray, out_h: int, out_w: int):
-        """OCR heads + upsample from (possibly scale/bias-modified) backbone
-        features (brs.py:182-210)."""
-        out, _aux = self.feature_extractor.head(feats)
+    def head_from_feats(self, feats: jnp.ndarray, out_h: int, out_w: int,
+                        insertion_mode: str = "A"):
+        """Head + upsample from (possibly scale/bias-modified) features
+        (brs.py:182-210): 'A' reruns the OCR heads, 'C' only cls_head."""
+        if insertion_mode == "C":
+            out, _aux = self.feature_extractor.cls_from_ocr(feats)
+        else:
+            out, _aux = self.feature_extractor.head(feats)
         return bilinear_resize_align_corners(out.astype(jnp.float32), out_h, out_w)
+
+    def low_res_instances_with_input_bias(self, image: jnp.ndarray,
+                                          points: jnp.ndarray,
+                                          bias: jnp.ndarray,
+                                          target: str = "rgb"):
+        """Full forward with an additive bias on the (normalized) input image
+        or the click dist-map channels — the Input-BRS path
+        (gui/ritm/inference/predictors/brs.py:257-304, optimize_target
+        rgb|dmaps). bias: [B, H, W, C_opt]."""
+        if self.use_rgb_conv:
+            raise NotImplementedError("Input-BRS targets the maps_transform "
+                                      "configuration (the shipped checkpoint)")
+        h, w = image.shape[1:3]
+        img, prev_mask = self._prepare_input(image)
+        coord = self._coord_features(prev_mask, points, h, w)
+        if target == "rgb":
+            img = img + bias
+        elif target == "dmaps":
+            if self.with_prev_mask:
+                # click channels only — prev-mask channel stays untouched
+                # (reference brs.py:284-285 dmaps[:, 1:] += bias)
+                coord = jnp.concatenate([coord[..., :1],
+                                         coord[..., 1:] + bias], axis=-1)
+            else:
+                coord = coord + bias
+        else:
+            raise NotImplementedError(target)
+        mt = self._act(self.maps_transform_0(coord))
+        mt = self.maps_transform_2(mt)
+        mt = mt * jnp.abs(self.maps_transform_3_scale)
+        out, _aux = self.feature_extractor(img, mt)
+        return out.astype(jnp.float32)

@@ -396,6 +396,47 @@ def gen_deeplab_shapes(out_dir):
     print("deeplab shape fixture written (%d keys)" % len(shapes))
 
 
+def gen_deeplab_forward(out_dir, seed: int = 77):
+    """DeepLabV3+ RITM variant golden FORWARD fixture (VERDICT r1 #7: the
+    structural shape test alone left forward numerics unpinned). fp16-rounded
+    random weights (both sides load identical values; fp32 compute)."""
+    import torch
+
+    sys.path.insert(0, str(REFERENCE / "gui"))
+    torch.manual_seed(seed)
+    from ritm.model.is_deeplab_model import DeeplabModel
+
+    model = DeeplabModel(backbone="resnet50", deeplab_ch=256,
+                         use_rgb_conv=False, use_disks=True, norm_radius=5,
+                         with_prev_mask=True, cpu_dist_maps=False)
+    model.eval()
+    g = torch.Generator().manual_seed(seed + 1)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean = torch.randn(m.running_mean.shape, generator=g) * 0.05
+            m.running_var = 0.5 + torch.rand(m.running_var.shape, generator=g)
+    model.half().float()
+
+    torch.manual_seed(7)
+    h, w = 64, 96
+    image = torch.rand(1, 4, h, w)  # rgb + prev mask
+    points = torch.full((1, 6, 3), -1.0)
+    points[0, 0] = torch.tensor([20.0, 30.0, 0.0])
+    points[0, 1] = torch.tensor([40.0, 60.0, 1.0])
+    points[0, 3] = torch.tensor([10.0, 80.0, 0.0])
+    with torch.no_grad():
+        out = model(image, points)
+
+    sd = {k: v.numpy().astype(np.float16)
+          for k, v in model.state_dict().items()
+          if "num_batches_tracked" not in k}
+    np.savez_compressed(out_dir / "deeplab_forward.npz",
+                        image=image.numpy(), points=points.numpy(),
+                        instances=out["instances"].numpy(),
+                        **{f"sd:{k}": v for k, v in sd.items()})
+    print("deeplab forward fixture written")
+
+
 def gen_ritm(out_dir, seed: int = 99):
     """Fixtures for the RITM interactive model (HRNet-18 + OCR, itermask
     config matching the shipped coco_lvis_h18_itermask checkpoint)."""
