@@ -57,7 +57,8 @@ class StepFunctions:
     @classmethod
     def get(cls, model: CUTIE, cfg) -> "StepFunctions":
         key = (id(model), int(cfg.top_k), bool(cfg.use_long_term),
-               bool(cfg.get("flip_aug", False)), bool(cfg.get("save_aux", False)))
+               bool(cfg.get("flip_aug", False)), bool(cfg.get("save_aux", False)),
+               int(cfg.get("mem_mesh_devices", 0) or 0))
         if key not in cls._cache:
             cls._cache[key] = cls(model, cfg)
         return cls._cache[key]
@@ -69,6 +70,15 @@ class StepFunctions:
         self.use_long_term = bool(cfg.use_long_term)
         self.flip_aug = bool(cfg.get("flip_aug", False))
         self.save_aux = bool(cfg.get("save_aux", False))
+        # multi-chip memory read: shard the memory-token axis of the top-k
+        # attention over a `mem` mesh (parallel/sharded_memory.py); the rest
+        # of the network stays replicated. Off (0/1) by default — one chip
+        # needs no collective.
+        self.mem_mesh = None
+        d = int(cfg.get("mem_mesh_devices", 0) or 0)
+        if d > 1:
+            from cutie_tpu.parallel import make_mem_mesh
+            self.mem_mesh = make_mem_mesh(d)
 
         self.encode = jax.jit(self._encode, static_argnames=("pad", "input_mode"))
         # fused per-frame fast path: encode + segment + conditional memorize in
@@ -193,7 +203,8 @@ class StepFunctions:
             [state.perm_value, state.lt_value,
              state.work_value.reshape(b, o, f * hw, cv)], axis=2)  # [B,O,N,Cv]
 
-        sim = get_similarity(mem_key, mem_shrink, qk, qe)  # unmasked, once
+        if self.mem_mesh is None:
+            sim = get_similarity(mem_key, mem_shrink, qk, qe)  # unmasked, once
 
         pixel_readout = jnp.zeros((b, o, hw, cv), jnp.float32)
         for bi, rep in enumerate(bucket_rep):
@@ -202,10 +213,16 @@ class StepFunctions:
                 state.lt_obj_valid[rep],
                 jnp.repeat(state.work_obj_valid[rep], hw),
             ])
-            valid_b = (global_valid & obj_tok_valid)[None]  # [1, N]
-            sim_b = jnp.where(valid_b[:, None, :], sim, -1e30)
-            affinity, usage = topk_softmax(sim_b, self.top_k,
-                                           return_usage=self.use_long_term)
+            if self.mem_mesh is not None:
+                r, usage = self._sharded_bucket_read(
+                    mem_key, mem_shrink, qk, qe, mem_value,
+                    global_valid & obj_tok_valid)
+            else:
+                valid_b = (global_valid & obj_tok_valid)[None]  # [1, N]
+                sim_b = jnp.where(valid_b[:, None, :], sim, -1e30)
+                affinity, usage = topk_softmax(sim_b, self.top_k,
+                                               return_usage=self.use_long_term)
+                r = readout(affinity, mem_value)  # [B,O,HW,Cv]
             if self.use_long_term:
                 # usage bookkeeping (kv_memory_store.py:151-162)
                 lt_usage = usage[:, pcap:pcap + lcap]
@@ -219,10 +236,37 @@ class StepFunctions:
                     lt_use=state.lt_use + lt_usage,
                     lt_life=state.lt_life + life_l.astype(jnp.float32),
                 )
-            r = readout(affinity, mem_value)  # [B,O,HW,Cv]
             pixel_readout = pixel_readout + (
                 r * bucket_sel[bi][None, :, None, None])
         return pixel_readout.reshape(b, o, h, w, cv), state
+
+    def _sharded_bucket_read(self, mem_key, mem_shrink, qk, qe, mem_value,
+                             valid):
+        """Distributed exact top-k read for one bucket: token axis padded to
+        the mesh size and sharded over ICI (parallel/sharded_memory.py). The
+        readout comes back replicated; usage is sliced back to [B, N]."""
+        from cutie_tpu.parallel import sharded_topk_readout
+
+        d = self.mem_mesh.shape["mem"]
+        b = mem_key.shape[0]
+        n = mem_key.shape[1]
+        n_pad = -(-n // d) * d
+
+        def padn(x, axis):
+            if n_pad == n:
+                return x
+            pads = [(0, 0)] * x.ndim
+            pads[axis] = (0, n_pad - n)
+            return jnp.pad(x, pads)
+
+        valid_p = jnp.broadcast_to(padn(valid[None], 1), (b, n_pad))
+        rd, usage = sharded_topk_readout(
+            padn(mem_key, 1), padn(mem_shrink, 1), qk, qe,
+            padn(mem_value, 2), valid_p, self.top_k, self.mem_mesh,
+            return_usage=self.use_long_term)
+        if self.use_long_term:
+            usage = usage[:, :n]
+        return rd, usage
 
     def _segment(self, variables, state: MemoryState, feats: FrameFeatures,
                  selector: jnp.ndarray, update_sensory: jnp.ndarray,

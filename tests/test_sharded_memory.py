@@ -110,3 +110,38 @@ def test_sharded_read_rejects_indivisible():
     with pytest.raises(ValueError, match="not divisible"):
         sharded_topk_readout(mk, None, jnp.zeros((1, 4, 8)), None,
                              jnp.zeros((1, 1, 100, 4)), None, 8, mesh)
+
+
+def test_sharded_read_end_to_end_stream_parity():
+    """InferenceCore with mem_mesh_devices=8: the full streaming loop with the
+    memory-token-axis sharded top-k read must match the single-device golden
+    stream (VERDICT r1 #9 — previously the sharded read was standalone-only)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from tests.test_inference_stream import _build_core, require_golden
+
+    rec = dict(np.load(require_golden("stream_small_work.npz")))
+    frames, mask0, ref_probs = rec["frames"], rec["mask0"], rec["probs"]
+
+    core = _build_core(use_long_term=False)
+    cfg = core.cfg.copy()
+    cfg.mem_mesh_devices = 8
+    from cutie_tpu.inference import InferenceCore
+    from cutie_tpu.utils.get_default_model import ModelBundle
+    bundle = ModelBundle(model=core.model, variables=core.variables, cfg=cfg)
+    core = InferenceCore(bundle, cfg)
+
+    t = frames.shape[0]
+    agree = []
+    for ti in range(t):
+        if ti == 0:
+            prob = core.step(frames[ti], mask0, objects=[1, 2])
+        else:
+            prob = core.step(frames[ti])
+        prob = np.asarray(prob)
+        agree.append((prob.argmax(0) == ref_probs[ti].argmax(0)).mean())
+    assert min(agree) > 0.995, agree
+    assert core.steps.mem_mesh is not None
