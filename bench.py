@@ -8,7 +8,11 @@ with the standard eval cadence (mem_every=5, top_k=30, no long-term memory).
 Baseline: ~36 FPS for cutie-base at 480p on a 2080Ti-class GPU (paper
 number recorded in BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with the
+secondary perf surface pinned under "extra": long-term-memory-mode FPS (same
+video, LT consolidation active) and the warm interactive click latency
+(RITM HRNet-18+OCR, 480p, flip + zoom-in) — the claims that previously lived
+only in PARITY.md prose (VERDICT r1 #6).
 """
 import json
 import os
@@ -75,6 +79,40 @@ def run_video(core, frames, mask0, timed: bool):
     return times, wall
 
 
+def bench_lt_fps(bundle, frames, mask0):
+    """Long-term-memory mode on the same video (consolidation active)."""
+    from cutie_tpu.config import eval_config, get_dataset_cfg
+    from cutie_tpu.inference import InferenceCore
+
+    cfg = eval_config("base")
+    cfg.dataset = "lvos-val"  # LT preset (use_long_term, max_mem_frames 10)
+    get_dataset_cfg(cfg)
+    cfg.max_internal_size = -1
+    core = InferenceCore(bundle, cfg)
+    run_video(core, frames[:12], mask0, timed=False)  # compile warm-up
+    core = InferenceCore(bundle, cfg)
+    times, _ = run_video(core, frames, mask0, timed=True)
+    return len(times) / sum(times)
+
+
+def bench_click_latency(n_clicks: int = 5):
+    """Warm RITM click latency at 480p (flip + zoom-in predictor params)."""
+    from cutie_tpu.ritm.utils import ClickController
+
+    ctrl = ClickController(None)  # random weights: same FLOPs as shipped ckpt
+    frame = synth_video(1, H, W)[0][0]
+    image = np.transpose(frame, (2, 0, 1)).astype(np.float32) / 255.0
+    # first click compiles + anchors; subsequent clicks are the warm path
+    ctrl.interact(image, W // 3, H // 3, True)
+    lat = []
+    for i in range(n_clicks):
+        t0 = time.perf_counter()
+        out = ctrl.interact(image, W // 3 + 10 * (i + 1), H // 3, i % 2 == 0)
+        np.asarray(out)
+        lat.append(time.perf_counter() - t0)
+    return float(np.median(lat))
+
+
 def main():
     from cutie_tpu.config import eval_config, get_dataset_cfg
     from cutie_tpu.inference import InferenceCore
@@ -99,11 +137,22 @@ def main():
     times, wall = run_video(core, frames, mask0, timed=True)
     fps = len(times) / sum(times)
 
+    extra = {}
+    try:
+        extra["lt_480p_3obj_fps"] = round(bench_lt_fps(bundle, frames, mask0), 3)
+    except Exception as e:  # secondary metrics must never sink the headline
+        extra["lt_480p_3obj_fps"] = f"error: {e}"
+    try:
+        extra["click_latency_ms"] = round(bench_click_latency() * 1000, 1)
+    except Exception as e:
+        extra["click_latency_ms"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "d17_480p_3obj_fps",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "extra": extra,
     }))
 
 
