@@ -273,8 +273,25 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
     return trainer.get_variables()
 
 
+def setup_rank_logging(run_path: str) -> None:
+    """Per-rank log files with rank-tagged formatters (reference
+    cutie/config/hydra/job_logging/custom.yaml:4-16)."""
+    rank = jax.process_index()
+    fmt = logging.Formatter(
+        f"[%(asctime)s][%(levelname)s][r{rank}] - %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S")
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    stream = logging.StreamHandler()
+    stream.setFormatter(fmt)
+    root.addHandler(stream)
+    os.makedirs(run_path, exist_ok=True)
+    fh = logging.FileHandler(path.join(run_path, f"train_rank{rank}.log"))
+    fh.setFormatter(fmt)
+    root.addHandler(fh)
+
+
 def main():
-    logging.basicConfig(level=logging.INFO)
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 
@@ -290,6 +307,7 @@ def main():
         cfg.apply_overrides(sys.argv[1:])
 
     run_path = path.join("output", cfg.exp_id)
+    setup_rank_logging(run_path)
     logger = TensorboardLogger(path.join(run_path, "tb"),
                                enabled=jax.process_index() == 0)
     logger.log_string("config", str(cfg.to_dict()))
