@@ -222,6 +222,13 @@ def eval_config(model: str = "base") -> Config:
         # MXU multiply precision for fp32 stacks (None=jax default [bf16
         # multiplies], 'highest'=true fp32 — bit-closest to the reference)
         "matmul_precision": None,
+        # memory-read top-k backend: 'dense' sort-based lax.top_k | 'radix'
+        # exact radix-select threshold | 'pallas' fused VMEM-resident radix
+        # kernel (TPU only). All exact; radix/pallas keep ALL ties at the
+        # k-th value where the sort keeps an arbitrary k (ops/memory.py).
+        # 'auto' == dense: end-to-end the fused step's TopK compiles well
+        # at every memory size (see inference/steps.py measurements).
+        "read_backend": "auto",
         "datasets": {k: dict(v) for k, v in _DATASETS.items()},
     })
 

@@ -22,7 +22,23 @@ import jax.numpy as jnp
 
 from cutie_tpu.inference.state import MemoryState
 from cutie_tpu.models.cutie import CUTIE
-from cutie_tpu.ops.memory import get_similarity, readout, softmax_affinity, topk_softmax
+from cutie_tpu.ops.memory import (get_similarity, readout, softmax_affinity,
+                                  topk_softmax, topk_softmax_radix)
+
+# Read-backend selection, measured on one v5e (2026-08):
+#   standalone (tools/bench_pallas.py, the chain alone under lax.scan):
+#     dense sort 4-31 ms across N=2k-28k; XLA radix-select 1.8-3.6 ms;
+#     VMEM-resident Pallas radix 8.1 ms at N=20k (3.9x dense).
+#   END-TO-END (tools/bench_read_backend.py, the chain inside the fused
+#   per-frame step): dense 1.78/1.68 ms per FRAME at N=8k/28k — XLA
+#   compiles the in-graph TopK far better than the standalone chain — and
+#   forcing radix/pallas measured SLOWER (2.29/2.73 ms at N=8k).
+# The fused step is what production runs, so 'auto' stays dense at every
+# N; 'radix'/'pallas' remain exact, tested, opt-in backends (they win only
+# if a future config materializes the standalone chain, e.g. reads over
+# memories far beyond the reference's budgets).
+RADIX_MIN_TOKENS = int(1e9)
+PALLAS_MIN_TOKENS = int(1e9)
 
 
 class FrameFeatures(NamedTuple):
@@ -58,7 +74,8 @@ class StepFunctions:
     def get(cls, model: CUTIE, cfg) -> "StepFunctions":
         key = (id(model), int(cfg.top_k), bool(cfg.use_long_term),
                bool(cfg.get("flip_aug", False)), bool(cfg.get("save_aux", False)),
-               int(cfg.get("mem_mesh_devices", 0) or 0))
+               int(cfg.get("mem_mesh_devices", 0) or 0),
+               str(cfg.get("read_backend", "auto")))
         if key not in cls._cache:
             cls._cache[key] = cls(model, cfg)
         return cls._cache[key]
@@ -70,6 +87,7 @@ class StepFunctions:
         self.use_long_term = bool(cfg.use_long_term)
         self.flip_aug = bool(cfg.get("flip_aug", False))
         self.save_aux = bool(cfg.get("save_aux", False))
+        self.read_backend = str(cfg.get("read_backend", "auto"))
         # multi-chip memory read: shard the memory-token axis of the top-k
         # attention over a `mem` mesh (parallel/sharded_memory.py); the rest
         # of the network stays replicated. Off (0/1) by default — one chip
@@ -203,7 +221,8 @@ class StepFunctions:
             [state.perm_value, state.lt_value,
              state.work_value.reshape(b, o, f * hw, cv)], axis=2)  # [B,O,N,Cv]
 
-        if self.mem_mesh is None:
+        backend = self._pick_read_backend(pcap + lcap + f * hw)
+        if self.mem_mesh is None and backend != "pallas":
             sim = get_similarity(mem_key, mem_shrink, qk, qe)  # unmasked, once
 
         pixel_readout = jnp.zeros((b, o, hw, cv), jnp.float32)
@@ -217,11 +236,16 @@ class StepFunctions:
                 r, usage = self._sharded_bucket_read(
                     mem_key, mem_shrink, qk, qe, mem_value,
                     global_valid & obj_tok_valid)
+            elif backend == "pallas":
+                r, usage = self._pallas_bucket_read(
+                    mem_key, mem_shrink, qk, qe, mem_value,
+                    global_valid & obj_tok_valid)
             else:
                 valid_b = (global_valid & obj_tok_valid)[None]  # [1, N]
                 sim_b = jnp.where(valid_b[:, None, :], sim, -1e30)
-                affinity, usage = topk_softmax(sim_b, self.top_k,
-                                               return_usage=self.use_long_term)
+                sm = topk_softmax_radix if backend == "radix" else topk_softmax
+                affinity, usage = sm(sim_b, self.top_k,
+                                     return_usage=self.use_long_term)
                 r = readout(affinity, mem_value)  # [B,O,HW,Cv]
             if self.use_long_term:
                 # usage bookkeeping (kv_memory_store.py:151-162)
@@ -239,6 +263,57 @@ class StepFunctions:
             pixel_readout = pixel_readout + (
                 r * bucket_sel[bi][None, :, None, None])
         return pixel_readout.reshape(b, o, h, w, cv), state
+
+    def _pick_read_backend(self, n_tokens: int) -> str:
+        """Exact-top-k backend by static token count (cfg.read_backend).
+
+        All three are exact; 'radix'/'pallas' keep every tie at the k-th
+        similarity where the sort keeps an arbitrary k (ops/memory.py).
+        'auto' keeps the sort on CPU (golden-fixture bit-stability) and on
+        small memories, and switches to radix-select past the measured
+        crossovers (module constants above)."""
+        if self.read_backend != "auto":
+            return self.read_backend
+        if jax.default_backend() == "cpu":
+            return "dense"
+        if n_tokens >= PALLAS_MIN_TOKENS:
+            return "pallas"
+        if n_tokens >= RADIX_MIN_TOKENS:
+            return "radix"
+        return "dense"
+
+    def _pallas_bucket_read(self, mem_key, mem_shrink, qk, qe, mem_value,
+                            valid):
+        """Fused VMEM-resident radix read for one bucket
+        (ops/pallas_kernels.py:radix_topk_readout; single-batch-row kernel,
+        unrolled over the static batch axis)."""
+        from cutie_tpu.ops.pallas_kernels import radix_topk_readout
+
+        b, n, _ = mem_key.shape
+        p = qk.shape[1]
+        bn = 512
+        n_pad = -(-n // bn) * bn
+        # block_p bounded so the [block_p, N] similarity scratch stays well
+        # inside VMEM (see kernel docstring)
+        bp = 256 if n_pad * 4 * 256 <= 48 * 1024 * 1024 else 128
+        p_pad = -(-p // bp) * bp
+        valid_pad = jnp.pad(valid, (0, n_pad - n))
+        rs, us = [], []
+        for bi in range(b):
+            mk = jnp.pad(mem_key[bi], ((0, n_pad - n), (0, 0)))
+            ms = jnp.pad(mem_shrink[bi], (0, n_pad - n))
+            # padded queries: qk=1e6/qe=1 saturates their similarity to
+            # ~-1e12 — exp underflows to 0, so they add nothing to usage
+            qkp = jnp.pad(qk[bi], ((0, p_pad - p), (0, 0)),
+                          constant_values=1e6)
+            qep = jnp.pad(qe[bi], ((0, p_pad - p), (0, 0)),
+                          constant_values=1.0)
+            vv = jnp.pad(mem_value[bi], ((0, 0), (0, n_pad - n), (0, 0)))
+            r, u = radix_topk_readout(mk, ms, valid_pad, qkp, qep, vv,
+                                      self.top_k, block_p=bp, block_n=bn)
+            rs.append(r[:, :p])
+            us.append(u[:n])
+        return jnp.stack(rs), jnp.stack(us)
 
     def _sharded_bucket_read(self, mem_key, mem_shrink, qk, qe, mem_value,
                              valid):

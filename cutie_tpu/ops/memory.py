@@ -102,6 +102,112 @@ def topk_softmax(similarity: jnp.ndarray,
     return affinity, None
 
 
+def topk_readout_compact(similarity: jnp.ndarray,
+                         values: jnp.ndarray,
+                         top_k: int,
+                         return_usage: bool = False
+                         ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Top-k softmax + readout WITHOUT materializing the dense affinity.
+
+    Mathematically identical to topk_softmax + readout (same top-k indices,
+    same fp32 weights) but contracts only the k gathered value rows per
+    query: at long-term-memory token counts (N ~ 28k) the dense route does
+    O(P*N*Cv) matmul FLOPs + writes/reads a [P, N] affinity through HBM,
+    while this does O(P*k*Cv) — a ~N/k reduction. Reduction order differs
+    (k-ary sum vs sparse-dense matmul), so results agree to fp32 tolerance.
+
+    similarity: [B, P, N]; values: [B, O, N, Cv].
+    Returns (readout [B, O, P, Cv], usage [B, N] or None).
+    """
+    b, p, n = similarity.shape
+    k = min(top_k, n)
+    vals, idx = jax.lax.top_k(similarity, k)        # [B, P, K]
+    w = _weights_from_topk(vals)
+    rd = _gather_readout(w, idx, values)
+
+    if return_usage:
+        usage = jnp.zeros((b, n), jnp.float32).at[
+            jnp.arange(b)[:, None, None], idx].add(w)
+        return rd, usage
+    return rd, None
+
+
+def _weights_from_topk(vals: jnp.ndarray) -> jnp.ndarray:
+    """Normalized softmax weights over per-query top-k similarities [B, P, K]
+    (exp without max subtraction: sim <= 0 by construction, masked -> 0)."""
+    x_exp = jnp.exp(vals)
+    return x_exp / jnp.maximum(jnp.sum(x_exp, axis=-1, keepdims=True), 1e-30)
+
+
+def _gather_readout(w: jnp.ndarray, idx: jnp.ndarray, values: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Contract top-k weights [B, P, K] against gathered value rows
+    (values [B, O, N, Cv], idx [B, P, K]) -> [B, O, P, Cv]."""
+    idxe = idx[:, None, :, :, None]                 # [B, 1, P, K, 1]
+    ve = values.astype(jnp.float32)[:, :, None]     # [B, O, 1, N, Cv]
+    g = jnp.take_along_axis(ve, idxe, axis=3)       # [B, O, P, K, Cv]
+    return jnp.einsum("bpk,bopkc->bopc", w, g,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _float_order_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Map fp32 -> uint32 so that unsigned integer order == float order
+    (standard radix-sort key transform; no NaNs expected here)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jnp.where((b >> 31) == 0, b | jnp.uint32(0x80000000), ~b)
+
+
+def topk_threshold_radix(similarity: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """EXACT per-query k-th-largest similarity via 32-step radix select.
+
+    Standalone, `jax.lax.top_k` on TPU is a full variadic bitonic sort —
+    O(N log^2 N) HBM passes, ~27 ms at long-term-memory scale (N ~ 20k,
+    P = 1792 @ 480p; inside the fused inference step XLA does far better —
+    see inference/steps.py). Finding only the k-th value needs no sort:
+    build the threshold's 32-bit pattern MSB-first; at each bit,
+    tentatively set it and keep it iff >= k elements remain >= the
+    candidate prefix (one vectorized compare+count pass per bit).
+
+    similarity: [B, P, N] fp32 -> tau [B, P, 1] fp32, the exact k-th
+    largest per query (== lax.top_k(similarity, k)[0][..., -1:]).
+    """
+    keys = _float_order_key(similarity)
+    k = jnp.uint32(top_k)
+
+    def bit_step(i, prefix):
+        bit = jnp.uint32(1) << (31 - i).astype(jnp.uint32)
+        cand = prefix | bit
+        cnt = jnp.sum((keys >= cand[..., None]).astype(jnp.uint32), axis=-1)
+        return jnp.where(cnt >= k, cand, prefix)
+
+    prefix = jax.lax.fori_loop(
+        0, 32, bit_step, jnp.zeros(similarity.shape[:-1], jnp.uint32))
+    # invert the order transform back to fp32
+    b = jnp.where((prefix >> 31) != 0, prefix & jnp.uint32(0x7FFFFFFF),
+                  ~prefix)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)[..., None]
+
+
+def topk_softmax_radix(similarity: jnp.ndarray,
+                       top_k: int,
+                       return_usage: bool = False
+                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Top-k sparse softmax via exact radix-select threshold (no sort).
+
+    Matches topk_softmax except when several tokens tie EXACTLY (same fp32
+    bits) with the k-th similarity: all ties are kept (the sort-based path
+    keeps an arbitrary k of them) — the same tie caveat the dense path
+    already carries vs torch.topk. Masked (-1e30) tokens stay excluded:
+    exp(-1e30) == 0.
+    """
+    tau = topk_threshold_radix(similarity, min(top_k, similarity.shape[-1]))
+    w = jnp.where(similarity >= tau, jnp.exp(similarity), 0.0)
+    affinity = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-30)
+    if return_usage:
+        return affinity, affinity.sum(axis=1)
+    return affinity, None
+
+
 def softmax_affinity(similarity: jnp.ndarray) -> jnp.ndarray:
     """Full (no top-k) max-subtracted softmax over the memory-token axis,
     used in training and in LT consolidation (memory_utils.py:67-71)."""

@@ -1,28 +1,29 @@
-"""Fused Pallas TPU kernel for the memory-read hot loop.
+"""Fused Pallas TPU kernels for the memory-read hot loop.
 
-Replaces the XLA chain get_similarity -> top-k softmax -> readout
-(cutie_tpu/ops/memory.py; reference cutie/model/utils/memory_utils.py:7-95)
-with a single kernel that never materializes the [P, N] affinity in HBM:
+Both kernels replace the XLA chain get_similarity -> top-k softmax ->
+readout (cutie_tpu/ops/memory.py; reference
+cutie/model/utils/memory_utils.py:7-95) with a single dispatch that never
+materializes the [P, N] affinity in HBM.
 
-  pass 1 (per query block, streaming over token chunks): maintain the top-k
-         similarity values per query with an iterative max-extract merge;
-         tau = k-th largest value;
-  pass 2 (streaming again): accumulate exp(sim) * [sim >= tau] @ values and
-         the normalizer Z; a third streaming pass emits usage
-         (sum over queries of affinity) with the final Z.
+`radix_topk_readout` — radix-select variant. When the chain runs
+STANDALONE, lax.top_k on TPU is a full bitonic sort (27 ms of a 31 ms
+read at N=20k / P=1792, 480p queries); this kernel computes the
+similarity block ONCE into a VMEM scratch, radix-selects the EXACT
+per-query k-th value in 32 VMEM-speed compare+count passes (no sort), and
+streams only the values through HBM: 8.1 ms at N=20480 on one v5e — 3.9x
+the standalone XLA chain — exact to fp32 tolerance, compiling up to the
+full 28k-token LT capacity (tools/bench_pallas.py).
 
-Keys/shrinkage/validity live in VMEM (N*Ck fp32 ~ 3MB at N=12k); the value
-matrix [N, O*Cv] stays in HBM and is DMA'd chunk by chunk. Exact vs the
-reference top-k softmax except at fp32 ties of the k-th value.
+`fused_topk_readout` — the earlier streaming design (iterative max-extract
+merge over token chunks, similarity recomputed per pass, O(P*k) VMEM).
+23 ms at the same size: the k-iteration merge is VPU-bound. Kept as a
+reference implementation.
 
-Status: verified bit-close against the XLA path on a real v5e chip
-(max diff ~1e-6 at N=12k, P=2k), but NOT the default backend: at
-production sizes XLA's sort-based top_k + dense readout measures ~4x
-faster (0.021 vs 0.083 ms) — the 30-iteration max-extract merge plus the
-3x HIGHEST-precision sim recomputation dominates. The kernel's
-O(P*k + N*O*Cv/chunk) VMEM footprint (vs XLA's O(P*N) HBM affinity) becomes
-the winning property only for much larger token counts than Cutie's memory
-budgets allow; kept as an optional backend + reference implementation.
+Honest status (tools/bench_read_backend.py): inside the fused per-frame
+inference step, XLA compiles the dense TopK chain to ~1.7 ms/frame even
+at N=28k — better than either kernel — so inference/steps.py keeps
+'dense' as the auto backend and these kernels are exact, tested, opt-in
+alternatives (cfg read_backend='pallas').
 """
 from __future__ import annotations
 
@@ -135,9 +136,185 @@ def _read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
     jax.lax.fori_loop(0, n_chunks, p3, 0)
 
 
+def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
+                       out_ref, usage_ref, sim_ref, v_scratch, dma_sem, *,
+                       top_k, bn, n_chunks, ck):
+    """Exact top-k softmax readout with the [BP, N] similarity VMEM-resident.
+
+    pass 1: similarity into VMEM scratch (computed once, never in HBM);
+    pass 2: EXACT k-th-largest threshold per query via 32-step radix select
+            on the order-preserving uint32 key transform (no sort — each
+            step is one vectorized compare+count over the resident sim);
+    pass 3: masked exp -> streamed value-chunk matmul accumulation;
+    pass 4: usage (column sums of normalized affinity).
+
+    Ties at the exact k-th bit pattern are ALL kept (the sort-based paths
+    keep an arbitrary k of them) — same caveat as ops/memory.py radix.
+    """
+    qk = qk_ref[:].astype(jnp.float32)
+    qe = qe_ref[:].astype(jnp.float32)
+    bp = qk.shape[0]
+    qkqe = qk * qe
+    b_sq = jnp.sum(qe * qk * qk, axis=1, keepdims=True)
+    inv_sqrt_ck = 1.0 / math.sqrt(ck)
+
+    def p1(ci, _):
+        mk = mk_ref[pl.ds(ci * bn, bn), :]
+        ms = ms_ref[0, pl.ds(ci * bn, bn)]
+        vd = valid_ref[0, pl.ds(ci * bn, bn)]
+        a_sq = jax.lax.dot_general(qe, mk * mk, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        two_ab = 2.0 * jax.lax.dot_general(qkqe, mk, (((1,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32,
+                                           precision=jax.lax.Precision.HIGHEST)
+        sim = (-a_sq + two_ab - b_sq) * (ms[None, :] * inv_sqrt_ck)
+        sim_ref[:, pl.ds(ci * bn, bn)] = jnp.where(vd[None, :] > 0.5, sim,
+                                                   NEG_INF)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, p1, 0)
+
+    # ---- pass 2: radix-select the exact k-th largest per query
+    def order_keys(sim):
+        bits = jax.lax.bitcast_convert_type(sim, jnp.uint32)
+        return jnp.where((bits >> 31) == 0, bits | jnp.uint32(0x80000000),
+                         ~bits)
+
+    kk = jnp.int32(top_k)
+
+    def bit_step(i, prefix):
+        bit = jnp.uint32(1) << (31 - i).astype(jnp.uint32)
+        cand = prefix | bit
+
+        # chunked count keeps live VMEM-stack values at [BP, BN] — a full
+        # [BP, N] keys array (+ sim) on the stack OOMs scoped VMEM at
+        # production LT sizes (28.8 MB each at N=28160, block_p=256)
+        def count_chunk(ci, cnt):
+            keys_c = order_keys(sim_ref[:, pl.ds(ci * bn, bn)])
+            # int32 count: Mosaic has no unsigned reductions
+            return cnt + jnp.sum((keys_c >= cand).astype(jnp.int32), axis=1,
+                                 keepdims=True)
+
+        cnt = jax.lax.fori_loop(0, n_chunks, count_chunk,
+                                jnp.zeros((bp, 1), jnp.int32))
+        return jnp.where(cnt >= kk, cand, prefix)
+
+    tau_key = jax.lax.fori_loop(0, 32, bit_step,
+                                jnp.zeros((bp, 1), jnp.uint32))
+
+    def w_chunk(ci):
+        sim_c = sim_ref[:, pl.ds(ci * bn, bn)]
+        # sim <= 0 -> exp <= 1; masked NEG_INF -> exp == 0
+        return jnp.where(order_keys(sim_c) >= tau_key, jnp.exp(sim_c), 0.0)
+
+    # ---- pass 3: masked-softmax readout (values DMA'd per chunk)
+    ocv = out_ref.shape[1]
+
+    def p3(ci, carry):
+        acc, z = carry
+        copy = pltpu.make_async_copy(v_hbm.at[pl.ds(ci * bn, bn), :],
+                                     v_scratch, dma_sem)
+        copy.start()
+        w = w_chunk(ci)
+        z = z + jnp.sum(w, axis=1, keepdims=True)
+        copy.wait()
+        acc = acc + jax.lax.dot_general(w, v_scratch[:],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
+        return acc, z
+
+    acc, z = jax.lax.fori_loop(
+        0, n_chunks, p3,
+        (jnp.zeros((bp, ocv), jnp.float32), jnp.zeros((bp, 1), jnp.float32)))
+    zsafe = jnp.maximum(z, 1e-30)
+    out_ref[:] = acc / zsafe
+
+    # ---- pass 4: usage = per-token column sum of normalized affinity
+    qi = pl.program_id(0)
+
+    def p4(ci, _):
+        usage_ref[qi, pl.ds(ci * bn, bn)] = jnp.sum(w_chunk(ci) / zsafe,
+                                                    axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, p4, 0)
+
+
+def radix_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
+                       qk: jnp.ndarray, qe: jnp.ndarray, values: jnp.ndarray,
+                       top_k: int, *, block_p: int = 256, block_n: int = 512,
+                       vmem_limit_bytes: int = 100 * 1024 * 1024,
+                       interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused exact memory read for ONE batch row, radix-select variant.
+
+    The winning property vs both the XLA chain and `fused_topk_readout`:
+    the [BP, N] similarity block lives in VMEM for all four passes, so the
+    O(N log^2 N) HBM-bound sort of lax.top_k becomes 32 VMEM-speed
+    compare+count passes, and similarity is computed exactly once.
+
+    mk [N, Ck], ms [N], valid [N] bool, qk/qe [P, Ck], values [O, N, Cv].
+    Returns (readout [O, P, Cv] fp32, usage [N] fp32).
+    N must divide by block_n and P by block_p. Pad tokens with valid=False;
+    pad queries with qk=1e6, qe=1 (their similarity saturates ~-1e12, the
+    masked exp underflows to 0, and they contribute nothing to usage).
+    """
+    n, ck = mk.shape
+    p = qk.shape[0]
+    o, _, cv = values.shape
+    assert n % block_n == 0 and p % block_p == 0, (n, p, block_n, block_p)
+    n_chunks = n // block_n
+    grid = (p // block_p,)
+
+    v2 = jnp.transpose(values, (1, 0, 2)).reshape(n, o * cv)
+
+    kernel = functools.partial(_radix_read_kernel, top_k=top_k, bn=block_n,
+                               n_chunks=n_chunks, ck=ck)
+    out, usage = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, ck), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, ck), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, ck), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # values stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((block_p, o * cv), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grid[0], n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, o * cv), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_p, n), jnp.float32),   # resident similarity
+            pltpu.VMEM((block_n, o * cv), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
+        interpret=interpret,
+    )(mk.astype(jnp.float32), ms.astype(jnp.float32)[None],
+      valid.astype(jnp.float32)[None], qk.astype(jnp.float32),
+      qe.astype(jnp.float32), v2.astype(jnp.float32))
+
+    readout = jnp.transpose(out.reshape(p, o, cv), (1, 0, 2))
+    return readout, usage.sum(axis=0)
+
+
 def fused_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
                        qk: jnp.ndarray, qe: jnp.ndarray, values: jnp.ndarray,
                        top_k: int, *, block_p: int = 512, block_n: int = 1024,
+                       vmem_limit_bytes: int = 64 * 1024 * 1024,
                        interpret: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused memory read for ONE batch row.
@@ -168,7 +345,7 @@ def fused_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_p, ck), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # values stay in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # values stay in HBM
         ],
         out_specs=(
             pl.BlockSpec((block_p, o * cv), lambda i: (i, 0),
@@ -185,6 +362,8 @@ def fused_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
             pltpu.VMEM((block_n, o * cv), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )(mk.astype(jnp.float32), ms.astype(jnp.float32)[None],
       valid.astype(jnp.float32)[None], qk.astype(jnp.float32),

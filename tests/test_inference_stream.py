@@ -11,7 +11,8 @@ from tests.conftest import require_golden
 
 
 def _build_core(use_long_term: bool, flip_aug: bool = False,
-                max_internal_size: int = -1, variant: str = "small"):
+                max_internal_size: int = -1, variant: str = "small",
+                cfg_extra: dict = None):
     from cutie_tpu.config import Config, eval_config
     from cutie_tpu.inference import InferenceCore
     from cutie_tpu.models import CUTIE
@@ -31,6 +32,8 @@ def _build_core(use_long_term: bool, flip_aug: bool = False,
                       "min_mem_frames": 2, "num_prototypes": 32,
                       "max_num_tokens": 256, "buffer_tokens": 64},
     })
+    if cfg_extra:
+        cfg.merge(cfg_extra)
     model = CUTIE(cfg)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                             jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2, 64, 64)))
@@ -41,10 +44,12 @@ def _build_core(use_long_term: bool, flip_aug: bool = False,
 
 
 def _run_stream(tag: str, use_long_term: bool, flip_aug: bool = False,
-                max_internal_size: int = -1, variant: str = "small"):
+                max_internal_size: int = -1, variant: str = "small",
+                cfg_extra: dict = None):
     rec = dict(np.load(require_golden(f"stream_{variant}_{tag}.npz")))
     frames, mask0, ref_probs = rec["frames"], rec["mask0"], rec["probs"]
-    core = _build_core(use_long_term, flip_aug, max_internal_size, variant)
+    core = _build_core(use_long_term, flip_aug, max_internal_size, variant,
+                       cfg_extra)
 
     t = frames.shape[0]
     agree = []
@@ -91,6 +96,14 @@ def test_stream_base_working_memory_parity():
 def test_stream_base_long_term_parity():
     core = _run_stream("lt", use_long_term=True, variant="base")
     assert core._lt_count > 0
+
+
+def test_stream_radix_read_backend_parity():
+    """Forcing the exact radix-select read backend must still match the
+    golden stream recorded against the sort-based path (the backends agree
+    everywhere except exact fp32 ties at the k-th similarity)."""
+    _run_stream("lt", use_long_term=True,
+                cfg_extra={"read_backend": "radix"})
 
 
 def test_stream_internal_resize_parity():

@@ -79,3 +79,72 @@ def test_fewer_valid_than_topk():
     aff, _ = topk_softmax(sim, 30)
     np.testing.assert_allclose(np.asarray(aff).sum(-1), 1.0, rtol=1e-5)
     assert np.abs(np.asarray(aff)[:, :, 5:]).max() == 0
+
+
+def test_radix_topk_matches_sort():
+    """topk_softmax_radix must reproduce the sort-based affinity exactly
+    (same selected tokens on tie-free data, same fp32 weights)."""
+    from cutie_tpu.ops.memory import (get_similarity, topk_softmax,
+                                      topk_softmax_radix,
+                                      topk_threshold_radix)
+    import jax
+
+    rng = np.random.default_rng(2)
+    for n, p, k in [(1024, 64, 30), (300, 33, 30), (20, 8, 30), (513, 17, 7)]:
+        mk = rng.normal(size=(1, n, 64)).astype(np.float32)
+        ms = rng.uniform(1, 3, size=(1, n)).astype(np.float32)
+        qk = rng.normal(size=(1, p, 64)).astype(np.float32)
+        qe = rng.uniform(size=(1, p, 64)).astype(np.float32)
+        valid = np.zeros((1, n), bool)
+        valid[:, :int(n * 0.7)] = True
+        sim = get_similarity(mk, ms, qk, qe, valid=np.asarray(valid))
+
+        kk = min(k, n)
+        tau_ref = jax.lax.top_k(sim, kk)[0][..., -1:]
+        tau = topk_threshold_radix(sim, kk)
+        assert bool((tau == tau_ref).all()), "radix k-th value must be exact"
+
+        aff_ref, use_ref = topk_softmax(sim, k, return_usage=True)
+        aff, use = topk_softmax_radix(sim, k, return_usage=True)
+        np.testing.assert_allclose(np.asarray(aff), np.asarray(aff_ref),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(use), np.asarray(use_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_radix_topk_keeps_all_ties():
+    """Documented deviation: at an exact fp32 tie of the k-th similarity the
+    radix path keeps every tied token (sort keeps an arbitrary k)."""
+    from cutie_tpu.ops.memory import topk_softmax_radix
+
+    sim = np.full((1, 1, 8), -2.0, np.float32)
+    sim[0, 0, :2] = -1.0  # two best, then six exact ties at the k-th value
+    aff, _ = topk_softmax_radix(np.asarray(sim), 4)
+    a = np.asarray(aff)[0, 0]
+    assert (a > 0).sum() == 8  # 2 + all 6 ties kept
+    np.testing.assert_allclose(a.sum(), 1.0, rtol=1e-6)
+
+
+def test_compact_readout_matches_dense():
+    """topk_readout_compact == topk_softmax + readout to fp32 tolerance."""
+    from cutie_tpu.ops.memory import (get_similarity, readout, topk_softmax,
+                                      topk_readout_compact)
+
+    rng = np.random.default_rng(3)
+    n, p, o, cv, k = 512, 40, 3, 64, 30
+    mk = rng.normal(size=(1, n, 64)).astype(np.float32)
+    ms = rng.uniform(1, 3, size=(1, n)).astype(np.float32)
+    qk = rng.normal(size=(1, p, 64)).astype(np.float32)
+    qe = rng.uniform(size=(1, p, 64)).astype(np.float32)
+    vals = rng.normal(size=(1, o, n, cv)).astype(np.float32)
+    valid = np.zeros((1, n), bool)
+    valid[:, :400] = True
+    sim = get_similarity(mk, ms, qk, qe, valid=np.asarray(valid))
+
+    aff, use_ref = topk_softmax(sim, k, return_usage=True)
+    rd_ref = readout(aff, np.asarray(vals))
+    rd, use = topk_readout_compact(sim, np.asarray(vals), k, return_usage=True)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(use), np.asarray(use_ref),
+                               rtol=1e-4, atol=1e-5)

@@ -58,3 +58,69 @@ def test_fused_topk_fewer_valid_than_k():
     # affinity mass sums to p over the 5 valid tokens
     np.testing.assert_allclose(np.asarray(usage).sum(), p, rtol=1e-4)
     assert np.abs(np.asarray(usage)[5:]).max() == 0
+
+
+def test_radix_topk_readout_matches_xla():
+    """VMEM-resident radix-select kernel vs the XLA chain (interpret mode;
+    the same comparison passes compiled on a real v5e — tools/bench_pallas)."""
+    import jax.numpy as jnp
+
+    from cutie_tpu.ops.memory import get_similarity, readout, topk_softmax
+    from cutie_tpu.ops.pallas_kernels import radix_topk_readout
+
+    rng = np.random.default_rng(2)
+    n, p, o, ck, cv, k = 1024, 256, 3, 64, 128, 30
+    mk = rng.normal(size=(n, ck)).astype(np.float32)
+    ms = rng.uniform(1, 3, size=(n,)).astype(np.float32)
+    valid = np.zeros((n,), bool)
+    valid[:700] = True
+    qk = rng.normal(size=(p, ck)).astype(np.float32)
+    qe = rng.uniform(size=(p, ck)).astype(np.float32)
+    vals = rng.normal(size=(o, n, cv)).astype(np.float32)
+
+    rd, usage = radix_topk_readout(
+        jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(valid), jnp.asarray(qk),
+        jnp.asarray(qe), jnp.asarray(vals), k, block_p=128, block_n=256,
+        interpret=True)
+
+    sim = get_similarity(mk[None], ms[None], qk[None], qe[None],
+                         valid=jnp.asarray(valid)[None])
+    aff, use_ref = topk_softmax(sim, k, return_usage=True)
+    rd_ref = readout(aff, jnp.asarray(vals)[None])[0]
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(usage), np.asarray(use_ref[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_radix_topk_readout_padded_queries():
+    """qk=1e6/qe=1 padded query rows must not disturb readout or usage."""
+    import jax.numpy as jnp
+
+    from cutie_tpu.ops.memory import get_similarity, readout, topk_softmax
+    from cutie_tpu.ops.pallas_kernels import radix_topk_readout
+
+    rng = np.random.default_rng(3)
+    n, p, o, ck, cv, k = 512, 96, 2, 64, 64, 30
+    mk = rng.normal(size=(n, ck)).astype(np.float32)
+    ms = rng.uniform(1, 3, size=(n,)).astype(np.float32)
+    valid = np.ones((n,), bool)
+    qk = rng.normal(size=(p, ck)).astype(np.float32)
+    qe = rng.uniform(size=(p, ck)).astype(np.float32)
+    vals = rng.normal(size=(o, n, cv)).astype(np.float32)
+
+    qk_pad = np.concatenate([qk, np.full((32, ck), 1e6, np.float32)])
+    qe_pad = np.concatenate([qe, np.ones((32, ck), np.float32)])
+    rd, usage = radix_topk_readout(
+        jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(valid),
+        jnp.asarray(qk_pad), jnp.asarray(qe_pad), jnp.asarray(vals), k,
+        block_p=128, block_n=256, interpret=True)
+
+    sim = get_similarity(mk[None], ms[None], qk[None], qe[None],
+                         valid=jnp.asarray(valid)[None])
+    aff, use_ref = topk_softmax(sim, k, return_usage=True)
+    rd_ref = readout(aff, jnp.asarray(vals)[None])[0]
+    np.testing.assert_allclose(np.asarray(rd)[:, :p], np.asarray(rd_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(usage), np.asarray(use_ref[0]),
+                               rtol=1e-5, atol=1e-5)
