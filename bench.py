@@ -98,6 +98,26 @@ def bench_lt_fps(bundle, frames, mask0):
     return len(times) / sum(times)
 
 
+def bench_amp_fps(frames, mask0):
+    """amp (bf16 compute) eval — the reference's autocast analog
+    (eval_vos.py:66,112; our fp32 islands match the training precision map)."""
+    from cutie_tpu.config import eval_config, get_dataset_cfg
+    from cutie_tpu.inference import InferenceCore
+    from cutie_tpu.utils.get_default_model import build_model
+
+    cfg = eval_config("base")
+    cfg.dataset = "d17-val"
+    get_dataset_cfg(cfg)
+    cfg.max_internal_size = -1
+    cfg.amp = True
+    bundle = build_model(cfg, weights=None)
+    core = InferenceCore(bundle, cfg)
+    run_video(core, frames[:12], mask0, timed=False)
+    core = InferenceCore(bundle, cfg)
+    times, _ = run_video(core, frames, mask0, timed=True)
+    return len(times) / sum(times)
+
+
 def bench_click_latency(n_clicks: int = 5):
     """Warm RITM click latency at 480p (flip + zoom-in predictor params)."""
     from cutie_tpu.ritm.utils import ClickController
@@ -154,6 +174,10 @@ def main():
         extra["lt_480p_3obj_fps"] = round(bench_lt_fps(bundle, frames, mask0), 3)
     except Exception as e:  # secondary metrics must never sink the headline
         extra["lt_480p_3obj_fps"] = f"error: {e}"
+    try:
+        extra["amp_480p_3obj_fps"] = round(bench_amp_fps(frames, mask0), 3)
+    except Exception as e:
+        extra["amp_480p_3obj_fps"] = f"error: {e}"
     try:
         extra["click_latency_ms"] = round(bench_click_latency() * 1000, 1)
     except Exception as e:

@@ -12,6 +12,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cutie_tpu.config import Config, eval_config, get_dataset_cfg
@@ -50,13 +51,23 @@ def init_variables(model: CUTIE, image_size: int = 64, num_objects: int = 2,
 
 def build_model(cfg: Config, weights: Optional[str] = None,
                 single_object: bool = False) -> ModelBundle:
-    """Construct CUTIE and optionally load a reference .pth / our .npz weights."""
-    model = CUTIE(cfg, single_object=single_object)
+    """Construct CUTIE and optionally load a reference .pth / our .npz weights.
+
+    cfg.amp=True (the reference's inference autocast flag — eval_vos.py:66,
+    112 wraps the step in torch.cuda.amp.autocast; the GUI runs amp by
+    default, gui_config.yaml:11) or cfg.compute_dtype='bfloat16' builds the
+    conv/transformer stacks in bf16; params and the fp32 islands (attention
+    read, GRUs, final logits, summarizer pooling) stay fp32 exactly as in
+    training."""
+    dtype = (jnp.bfloat16
+             if (str(cfg.get("compute_dtype", "float32")) == "bfloat16"
+                 or bool(cfg.get("amp", False)))
+             else jnp.float32)
+    model = CUTIE(cfg, single_object=single_object, dtype=dtype)
     if weights and os.path.exists(weights):
         from cutie_tpu.utils.weight_import import (apply_object_surgery,
                                                    convert_torch_state_dict,
                                                    load_torch_checkpoint)
-        import jax.numpy as jnp
 
         if weights.endswith(".npz"):
             sd = dict(np.load(weights))

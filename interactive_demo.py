@@ -44,6 +44,8 @@ def main():
         "use_long_term": True,
         "mem_every": 5,
         "output_fps": 24,
+        # bf16 compute (reference gui_config.yaml:11 runs amp: True)
+        "amp": True,
     })
 
     from cutie_tpu.gui.main_controller import MainController

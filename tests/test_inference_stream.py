@@ -34,7 +34,9 @@ def _build_core(use_long_term: bool, flip_aug: bool = False,
     })
     if cfg_extra:
         cfg.merge(cfg_extra)
-    model = CUTIE(cfg)
+    # same dtype selection as utils/get_default_model.build_model
+    dtype = jnp.bfloat16 if cfg.get("amp", False) else jnp.float32
+    model = CUTIE(cfg, dtype=dtype)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                             jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2, 64, 64)))
     zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
@@ -96,6 +98,40 @@ def test_stream_base_working_memory_parity():
 def test_stream_base_long_term_parity():
     core = _run_stream("lt", use_long_term=True, variant="base")
     assert core._lt_count > 0
+
+
+def test_stream_bf16_inference():
+    """cfg.amp=True must actually build the bf16 model (the reference's
+    inference autocast, eval_vos.py:66,112 / gui_config.yaml:11) and still
+    track the fp32 masks closely — the fp32 islands (attention read, GRUs,
+    logits) bound the drift."""
+    import jax.numpy as jnp
+
+    rec = dict(np.load(require_golden("stream_small_work.npz")))
+    frames, mask0 = rec["frames"], rec["mask0"]
+
+    core32 = _build_core(use_long_term=False)
+    core16 = _build_core(use_long_term=False, cfg_extra={"amp": True})
+    assert core16.model.dtype == jnp.bfloat16
+    assert core32.model.dtype == jnp.float32
+
+    agree = []
+    for ti in range(frames.shape[0]):
+        if ti == 0:
+            p32 = core32.step(frames[ti], mask0, objects=[1, 2])
+            p16 = core16.step(frames[ti], mask0, objects=[1, 2])
+        else:
+            p32 = core32.step(frames[ti])
+            p16 = core16.step(frames[ti])
+        p16 = np.asarray(p16)
+        assert np.isfinite(p16).all() and p16.min() >= 0 and p16.max() <= 1
+        agree.append((np.asarray(p32).argmax(0) == p16.argmax(0)).mean())
+    # Frame 1 is a pure forward from identical memory — the honest one-step
+    # bf16 drift. Later frames feed divergent masks back through memory and,
+    # with RANDOM weights (razor-thin logit margins), the two streams drift
+    # chaotically; trained weights do not behave this way, so only finiteness
+    # and valid probabilities are asserted there.
+    assert agree[1] > 0.85, agree
 
 
 def test_stream_radix_read_backend_parity():
