@@ -121,6 +121,19 @@ class HRNetFeatureBRSPredictor(Predictor):
         self._head_input = jax.jit(functools.partial(
             model.apply, method="get_head_input",
             insertion_mode=insertion_mode))
+
+        def _head_input_flip(variables, img1, pts, w):
+            # reconstruct the horizontally-flipped batch member ON DEVICE
+            # (same exactness argument as Predictor._fwd_flip: content
+            # occupies cols [0, w) of the zero-padded canvas; reverse+roll
+            # realigns it) — halves the dominant per-click H2D upload
+            rev = img1[:, :, ::-1, :]
+            img2 = jnp.roll(rev, w - img1.shape[2], axis=2)
+            img = jnp.concatenate([img1, img2], axis=0)
+            return model.apply(variables, img, pts, method="get_head_input",
+                               insertion_mode=insertion_mode)
+
+        self._head_input_flip = jax.jit(_head_input_flip)
         self._loss_grad = jax.jit(self._loss_grad_fn,
                                   static_argnames=("out_h", "out_w", "bs"))
 
@@ -203,16 +216,26 @@ class HRNetFeatureBRSPredictor(Predictor):
 
         if (num_clicks <= (self.net_clicks_limit or 1 << 30)
                 or self.input_data is None):
-            self.input_data = self._head_input(self.variables, img, pts)
+            if b == 2 and self.with_flip:
+                # batch member 1 is the horizontal flip of member 0
+                # (AddHorizontalFlip is the last transform): rebuild it on
+                # device, upload only member 0
+                self.input_data = self._head_input_flip(
+                    self.variables, img[:1], pts, np.int32(w))
+            else:
+                self.input_data = self._head_input(self.variables, img, pts)
 
         pos_p = np.zeros((b, hp, wp), np.float32)
         neg_p = np.zeros((b, hp, wp), np.float32)
         pos_p[:, :h, :w] = pos_mask
         neg_p[:, :h, :w] = neg_mask
+        # upload the click maps ONCE per click — inside eval_fn they would
+        # re-upload on every L-BFGS evaluation (up to maxfun=20 times)
+        pos_j, neg_j = jnp.asarray(pos_p), jnp.asarray(neg_p)
 
         def eval_fn(x):
             return self._loss_grad(self.variables, self.input_data,
-                                   jnp.asarray(pos_p), jnp.asarray(neg_p),
+                                   pos_j, neg_j,
                                    jnp.asarray(x, jnp.float32),
                                    out_h=hp, out_w=wp, bs=bs)
 
