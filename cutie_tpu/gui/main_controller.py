@@ -203,6 +203,12 @@ class MainController:
         self.processor.clear_memory()
         self._notify()
 
+    def on_clear_non_permanent_memory(self):
+        """Drop working/long-term/sensory memory but keep the permanent
+        prefix (main_controller.py:552-561)."""
+        self.processor.clear_non_permanent_memory()
+        self._notify()
+
     def on_reset_object(self):
         self.curr_mask[self.curr_mask == self.curr_object] = 0
         self._mask_to_prob()

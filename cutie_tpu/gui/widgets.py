@@ -177,6 +177,8 @@ if HAS_QT:
             commit.clicked.connect(controller.on_commit)
             clear_mem = QPushButton("Clear memory")
             clear_mem.clicked.connect(controller.on_clear_memory)
+            clear_np = QPushButton("Clear non-permanent memory")
+            clear_np.clicked.connect(controller.on_clear_non_permanent_memory)
             reset_obj = QPushButton("Reset object")
             reset_obj.clicked.connect(controller.on_reset_object)
             undo = QPushButton("Undo click")
@@ -229,8 +231,8 @@ if HAS_QT:
             logging.getLogger("cutie_tpu").addHandler(self._log_handler)
 
             buttons = QHBoxLayout()
-            for b in (fwd, bwd, stop, commit, clear_mem, reset_obj, undo,
-                      export, import_mask, import_layer):
+            for b in (fwd, bwd, stop, commit, clear_mem, clear_np, reset_obj,
+                      undo, export, import_mask, import_layer):
                 buttons.addWidget(b)
             controls = QHBoxLayout()
             controls.addWidget(QLabel("Object:"))

@@ -86,7 +86,16 @@ def test_gui_controller_full_flow(workspace):
     # commit to permanent memory grows the permanent counter
     perm_before = ctl.get_memory_gauges()["permanent"]
     ctl.on_commit()
-    assert ctl.get_memory_gauges()["permanent"] > perm_before
+    perm_after = ctl.get_memory_gauges()["permanent"]
+    assert perm_after > perm_before
+
+    # clearing non-permanent memory keeps the permanent prefix
+    # (reference main_controller.py:552-561) and drops working tokens
+    assert ctl.get_memory_gauges()["working"] > 0
+    ctl.on_clear_non_permanent_memory()
+    g = ctl.get_memory_gauges()
+    assert g["permanent"] == perm_after
+    assert g["working"] == 0 and g["long_term"] == 0
 
     # propagate backward
     ctl.on_propagate("backward", max_frames=2)

@@ -1,0 +1,135 @@
+"""Device-trace profile of the jitted training step (where do the ms go?).
+
+Captures a jax.profiler trace of two warm main-training steps at the
+production shapes (batch 2, T=8, 480x480, 3 objects, bf16+remat) and
+prints an op-class breakdown from the trace-viewer JSON: total device
+time, achieved TFLOP/s and HBM GB/s, top individual ops, and the
+flop-efficiency histogram.
+
+Findings on one v5e (2026-08, recorded so the next perf pass starts from
+data, not guesses):
+  - 533 ms/step device time; 22.7 TFLOP/s achieved (~11% of bf16 peak),
+    417 GB/s HBM (~51%) -> the step is data-movement-bound, not MXU-bound.
+  - 53% of device time is in zero-FLOP ops: ~86 ms/step layout copies
+    (tens of thousands of small transposes around the grouped convs),
+    PointRend gathers (~20 ms) + the backward scatter of point_sample
+    (28.5 ms, the single biggest op) + uncertainty sorts (~13 ms).
+  - The FLOP-carrying fusions split ~300 ms below 10 TF/s (many small
+    convs at 480^2 with narrow channel counts) vs ~113 ms above 100 TF/s.
+  No single 2x lever exists; candidates in order: layout-copy reduction
+  around group convs, a sort-free uncertainty top-k, scatter-free
+  point-sample backward.
+"""
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cutie_tpu_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+TRACE_DIR = "/tmp/cutie_tpu_train_trace"
+
+
+def capture(batch=2, t=8, hw=480, o=3):
+    from profile_train import make_data
+
+    from cutie_tpu.config import Config, eval_config
+    from cutie_tpu.models import CUTIE
+    from cutie_tpu.training.trainer import Trainer
+    from cutie_tpu.utils.get_default_model import init_variables
+
+    cfg = eval_config("base")
+    stage = Config({
+        "name": "main_training", "amp": True, "num_iterations": 125000,
+        "learning_rate": 1e-4, "lr_schedule": "step",
+        "lr_schedule_steps": [100000, 115000], "lr_schedule_gamma": 0.1,
+        "point_supervision": True, "train_num_points": 12544,
+        "oversample_ratio": 3.0, "importance_sample_ratio": 0.75,
+        "clip_grad_norm": 3.0, "weight_decay": 0.001,
+        "embed_weight_decay": 0.0, "backbone_lr_ratio": 0.1,
+        "num_ref_frames": 3, "seq_length": t, "remat": True,
+        "num_objects": o, "deep_update_prob": 0.2, "crop_size": [hw, hw],
+    })
+    model = CUTIE(cfg, dtype=jnp.bfloat16)
+    variables = init_variables(model, image_size=64, num_objects=o)
+    trainer = Trainer(cfg=cfg, stage_cfg=stage, model=model,
+                      variables=variables)
+    data = jax.device_put(make_data(batch, t, hw, o))
+    jax.block_until_ready(data["frames"])
+    losses = trainer.do_pass(data, 0, jax.random.PRNGKey(0))
+    jax.block_until_ready(losses["total_loss"])
+    print("warm; tracing 2 steps ...", flush=True)
+    jax.profiler.start_trace(TRACE_DIR)
+    for i in range(1, 3):
+        losses = trainer.do_pass(data, i, jax.random.PRNGKey(i))
+    jax.block_until_ready(losses["total_loss"])
+    jax.profiler.stop_trace()
+
+
+def summarize():
+    paths = sorted(glob.glob(
+        os.path.join(TRACE_DIR, "plugins/profile/*/*.trace.json.gz")))
+    if not paths:
+        print("no trace found under", TRACE_DIR)
+        return
+    data = json.load(gzip.open(paths[-1]))
+    events = data.get("traceEvents", [])
+    pids, tids = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    tpu = [p for p, n in pids.items() if "TPU" in n]
+    if not tpu:
+        print("no TPU pid in trace")
+        return
+    ops = [e for e in events
+           if e.get("ph") == "X" and e.get("pid") == tpu[0]
+           and tids.get((e["pid"], e["tid"])) == "XLA Ops"]
+    total = sum(e["dur"] for e in ops)
+    flops = sum(int(e.get("args", {}).get("model_flops", 0) or 0)
+                for e in ops)
+    byt = sum(int(e.get("args", {}).get("raw_bytes_accessed", 0) or 0)
+              for e in ops)
+    print(f"device time {total / 1e3:.0f} ms (2 steps) | "
+          f"{flops / (total / 1e6) / 1e12:.1f} TFLOP/s | "
+          f"{byt / (total / 1e6) / 1e9:.0f} GB/s")
+
+    agg = {}
+    for e in ops:
+        a = e.get("args", {})
+        v = agg.setdefault(e["name"], [0, 0, a.get("long_name", "")[:110]])
+        v[0] += e["dur"]
+        v[1] += int(a.get("model_flops", 0) or 0)
+    flop_t = sum(v[0] for v in agg.values() if v[1] > 0)
+    print(f"flop-op time {flop_t / 1e3:.0f} ms | "
+          f"zero-flop-op time {(total - flop_t) / 1e3:.0f} ms")
+    buckets = collections.Counter()
+    for _, (d, f, _) in agg.items():
+        if f > 0:
+            tfs = f / (d / 1e6) / 1e12
+            b = ("<10 TF/s" if tfs < 10 else "<50 TF/s" if tfs < 50
+                 else "<100 TF/s" if tfs < 100 else ">=100 TF/s")
+            buckets[b] += d
+    for k in ("<10 TF/s", "<50 TF/s", "<100 TF/s", ">=100 TF/s"):
+        print(f"  flop-ops {k}: {buckets.get(k, 0) / 1e3:.0f} ms")
+    print("top ops:")
+    for n, (d, f, ln) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:12]:
+        print(f"  {d / 1e3:7.2f} ms  {ln or n}")
+
+
+if __name__ == "__main__":
+    capture()
+    summarize()
