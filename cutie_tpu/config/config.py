@@ -226,8 +226,9 @@ def eval_config(model: str = "base") -> Config:
         # exact radix-select threshold | 'pallas' fused VMEM-resident radix
         # kernel (TPU only). All exact; radix/pallas keep ALL ties at the
         # k-th value where the sort keeps an arbitrary k (ops/memory.py).
-        # 'auto' == dense: end-to-end the fused step's TopK compiles well
-        # at every memory size (see inference/steps.py measurements).
+        # 'auto' = radix on accelerators (2.0-2.7x the whole frame vs the
+        # sort at 480p — honest measurements in inference/steps.py), dense
+        # on CPU/tiny memories.
         "read_backend": "auto",
         "datasets": {k: dict(v) for k, v in _DATASETS.items()},
     })

@@ -25,20 +25,25 @@ from cutie_tpu.models.cutie import CUTIE
 from cutie_tpu.ops.memory import (get_similarity, readout, softmax_affinity,
                                   topk_softmax, topk_softmax_radix)
 
-# Read-backend selection, measured on one v5e (2026-08):
-#   standalone (tools/bench_pallas.py, the chain alone under lax.scan):
-#     dense sort 4-31 ms across N=2k-28k; XLA radix-select 1.8-3.6 ms;
-#     VMEM-resident Pallas radix 8.1 ms at N=20k (3.9x dense).
-#   END-TO-END (tools/bench_read_backend.py, the chain inside the fused
-#   per-frame step): dense 1.78/1.68 ms per FRAME at N=8k/28k — XLA
-#   compiles the in-graph TopK far better than the standalone chain — and
-#   forcing radix/pallas measured SLOWER (2.29/2.73 ms at N=8k).
-# The fused step is what production runs, so 'auto' stays dense at every
-# N; 'radix'/'pallas' remain exact, tested, opt-in backends (they win only
-# if a future config materializes the standalone chain, e.g. reads over
-# memories far beyond the reference's budgets).
-RADIX_MIN_TOKENS = int(1e9)
-PALLAS_MIN_TOKENS = int(1e9)
+# Read-backend selection, measured HONESTLY on one v5e (2026-08) with
+# sustained-throughput timing (bench.py measure_throughput; NOTE: over the
+# dev tunnel jax.block_until_ready returns before remote execution
+# finishes, so an earlier per-frame-sync comparison concluded "dense is
+# fastest in-graph at 1.7 ms/frame" while the device was really spending
+# ~16 ms — always force a D2H fetch when timing, see
+# .claude/skills/verify/SKILL.md):
+#   fused per-frame step, 480p 3 objects (tools/bench_read_backend.py):
+#     d17  (N~8k):  dense 16.1 ms/frame | radix 8.0            (2.0x)
+#     lvos (N~28k): dense 52.7 ms/frame | radix 19.3 | pallas 17.1 (3.1x)
+#   the bitonic-sort lax.top_k is ~half the dense frame at N=8k and ~60%
+#   at N=28k; radix-select replaces it with 32 compare+count passes, and
+#   the Pallas kernel keeps the similarity VMEM-resident, winning past
+#   the standalone crossover (~16k tokens, tools/bench_pallas.py).
+# 'auto': radix on accelerators, pallas past PALLAS_MIN_TOKENS (TPU only
+# — guarded below), dense on CPU (golden-fixture tie behavior) and tiny
+# buffers.
+RADIX_MIN_TOKENS = 1024
+PALLAS_MIN_TOKENS = 16384
 
 
 class FrameFeatures(NamedTuple):
@@ -274,10 +279,11 @@ class StepFunctions:
         crossovers (module constants above)."""
         if self.read_backend != "auto":
             return self.read_backend
-        if jax.default_backend() == "cpu":
+        backend = jax.default_backend()
+        if backend == "cpu":
             return "dense"
-        if n_tokens >= PALLAS_MIN_TOKENS:
-            return "pallas"
+        if n_tokens >= PALLAS_MIN_TOKENS and backend == "tpu":
+            return "pallas"  # Mosaic kernel: TPU only
         if n_tokens >= RADIX_MIN_TOKENS:
             return "radix"
         return "dense"

@@ -14,10 +14,12 @@ Timing: per-read cost from a lax.scan of chained reads inside ONE jit
 (each read's queries depend on the previous readout), best of several
 whole-scan runs — per-dispatch tunnel latency never enters the number.
 
-CAVEAT: these are STANDALONE-chain numbers (radix/pallas win 3-5x). The
-same chain inside the fused per-frame step compiles to ~1.7 ms with the
-plain dense ops (tools/bench_read_backend.py), which is why 'auto' stays
-dense — always weigh both measurements before changing the default.
+These standalone numbers agree with the honest in-graph measurements
+(tools/bench_read_backend.py: the sort is ~half the fused frame at N=8k),
+which is why 'auto' selects radix on accelerators. An earlier conclusion
+that "in-graph dense is fastest at 1.7 ms/frame" was a timing artifact —
+jax.block_until_ready does not wait for remote execution over the dev
+tunnel; see .claude/skills/verify/SKILL.md.
 """
 import argparse
 import os

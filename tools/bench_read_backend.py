@@ -1,17 +1,22 @@
 """End-to-end read-backend comparison: full InferenceCore streaming.
 
-The microbenchmark (tools/bench_pallas.py) isolates the read chain; this
-tool measures what actually matters — the per-frame fused-step time with
-each backend inside the production graph — on the non-LT (d17, N ~ 8k
-tokens) and long-term (lvos, N ~ 28k tokens) configurations. The auto
-thresholds in inference/steps.py are set from THESE numbers.
+Measures the per-frame SUSTAINED cost of the fused step with each top-k
+read backend inside the production graph, on the non-LT (d17, N ~ 8k
+tokens) and long-term (lvos, N ~ 28k tokens) configurations.
 
-Single process (tunnel latency comparable across combos); median per-frame
-step time + eval-style FPS per (config, backend).
+Timing is honest-throughput (see bench.py): free-run the frame loop and
+force completion by fetching from the final output — over the dev tunnel
+`jax.block_until_ready` returns before remote execution finishes, and a
+round-1/2 version of this tool that trusted it concluded "dense is
+fastest in-graph" at 1.7 ms/frame while the device was really spending
+~16 ms/frame (half of it in the bitonic-sort top-k). The honest numbers
+(one v5e, 2026-08): d17 dense 16.1 ms/frame vs radix 8.0; these set the
+auto thresholds in inference/steps.py.
 """
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cutie_tpu_jax_cache")
@@ -28,19 +33,17 @@ from cutie_tpu.inference import InferenceCore
 from cutie_tpu.utils.get_default_model import build_model
 
 
-def run_combo(bundle, frames, mask0, dataset, backend):
+def run_combo(bundle, frames, dev_frames, mask0, dataset, backend, amp):
     cfg = eval_config("base")
     cfg.dataset = dataset
     get_dataset_cfg(cfg)
     cfg.max_internal_size = -1
     cfg.read_backend = backend
+    cfg.amp = amp
     core = InferenceCore(bundle, cfg)
-    B.run_video(core, frames, mask0, timed=False)  # warm every graph
+    B.run_video(core, frames, mask0)  # warm every graph
     core = InferenceCore(bundle, cfg)
-    times, _ = B.run_video(core, frames, mask0, timed=True)
-    med = float(np.median(times)) * 1000
-    fps = len(times) / sum(times)
-    return med, fps
+    return B.measure_throughput(core, dev_frames, mask0)
 
 
 def main():
@@ -48,20 +51,26 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--backends", default="dense,radix,pallas")
     ap.add_argument("--datasets", default="d17-val,lvos-val")
+    ap.add_argument("--amp", action="store_true")
     args = ap.parse_args()
 
     cfg = eval_config("base")
     cfg.dataset = "d17-val"
     get_dataset_cfg(cfg)
+    cfg.amp = args.amp
     bundle = build_model(cfg, weights=None)
     frames, mask0 = B.synth_video(args.frames, B.H, B.W)
+    dev_frames = [jax.device_put(f) for f in frames]
+    jax.block_until_ready(dev_frames[-1])
 
     for dataset in args.datasets.split(","):
         for backend in args.backends.split(","):
             try:
-                med, fps = run_combo(bundle, frames, mask0, dataset, backend)
-                print(f"{dataset:10s} {backend:7s}  median {med:7.2f} ms/frame"
-                      f"   {fps:7.1f} fps", flush=True)
+                ms, fps = run_combo(bundle, frames, dev_frames, mask0,
+                                    dataset, backend, args.amp)
+                print(f"{dataset:10s} {backend:7s}"
+                      f"{' amp' if args.amp else '    '}  "
+                      f"{ms:7.2f} ms/frame   {fps:7.1f} fps", flush=True)
             except Exception as e:
                 print(f"{dataset:10s} {backend:7s}  FAILED "
                       f"{type(e).__name__}: {str(e)[:160]}", flush=True)
