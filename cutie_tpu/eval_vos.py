@@ -6,8 +6,9 @@ the hydra CLI:
     python -m cutie_tpu.eval_vos dataset=d17-val weights=cutie-base-mega.pth \
         image_directory=... mask_directory=... size=480
 
-Per-frame timing is synchronized (block_until_ready) like the reference's
-CUDA-event timing; FPS and peak device memory are logged at the end.
+Per-frame timing is synchronized by a tiny D2H fetch (the analog of the
+reference's CUDA-event timing; plain block_until_ready can return early on
+remote devices); FPS and peak device memory are logged at the end.
 """
 from __future__ import annotations
 
@@ -137,7 +138,11 @@ def eval_vos(cfg) -> dict:
                     next_rgb_d = jax.device_put(buf["rgb"])
                 if skip:
                     continue
-                jax.block_until_ready(prob)
+                # force completion with a tiny D2H fetch: on tunneled/remote
+                # devices jax.block_until_ready can return before execution
+                # finishes and silently turns this into a dispatch-latency
+                # measurement (see bench.py methodology note)
+                np.asarray(prob[:1, :1, :1])
                 total_process_time += time.perf_counter() - t0
                 total_frames += 1
 

@@ -63,11 +63,11 @@ def timeit_scan(read_fn, qk, iters=20, reps=5):
     """Compute-only per-read time (min over reps: tunnel weather only adds
     latency, never removes it)."""
     fn = make_scanned(read_fn, qk, iters)
-    jax.block_until_ready(fn())
+    np.asarray(fn()[:1])  # forced fetch: block_until_ready can return early
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        np.asarray(fn()[:1])
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

@@ -33,7 +33,8 @@ def main():
         def wrapped(*a, **k):
             t0 = time.perf_counter()
             out = fn(*a, **k)
-            jax.block_until_ready(out)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf)[..., :1]  # forced fetch (block can return early)
             acc[name] = acc.get(name, 0.0) + (time.perf_counter() - t0)
             return out
         return wrapped
@@ -49,7 +50,7 @@ def main():
             prob = core.step(frame, mask0, objects=list(range(1, N_OBJECTS + 1)))
         else:
             prob = core.step(frame)
-        jax.block_until_ready(prob)
+        np.asarray(prob[:1, :1, :1])  # forced fetch (block can return early)
         times.append(time.perf_counter() - t0)
 
     warm = times[12:]

@@ -75,7 +75,7 @@ def profile(amp: bool, batch: int, t: int, hw: int, o: int, steps: int = 10,
     for i in range(1, steps + 1):
         t0 = time.perf_counter()
         losses = trainer.do_pass(data, i, jax.random.PRNGKey(i))
-        jax.block_until_ready(losses["total_loss"])
+        float(losses["total_loss"])  # forced fetch (block can return early)
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
     print(f"[{tag}] warm step: median {med * 1000:.0f} ms "
