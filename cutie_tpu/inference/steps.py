@@ -251,7 +251,12 @@ class StepFunctions:
                 sm = topk_softmax_radix if backend == "radix" else topk_softmax
                 affinity, usage = sm(sim_b, self.top_k,
                                      return_usage=self.use_long_term)
-                r = readout(affinity, mem_value)  # [B,O,HW,Cv]
+                # amp: the readout bmm runs bf16 like the reference's
+                # autocast (the fp32 island ends at the softmax — see
+                # ops/memory.readout); similarity/top-k stay fp32-HIGHEST
+                rd_dtype = (jnp.bfloat16
+                            if self.model.dtype == jnp.bfloat16 else None)
+                r = readout(affinity, mem_value, compute_dtype=rd_dtype)
             if self.use_long_term:
                 # usage bookkeeping (kv_memory_store.py:151-162)
                 lt_usage = usage[:, pcap:pcap + lcap]

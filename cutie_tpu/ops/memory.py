@@ -216,14 +216,26 @@ def softmax_affinity(similarity: jnp.ndarray) -> jnp.ndarray:
     return x_exp / jnp.sum(x_exp, axis=-1, keepdims=True)
 
 
-def readout(affinity: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+def readout(affinity: jnp.ndarray, values: jnp.ndarray,
+            compute_dtype=None) -> jnp.ndarray:
     """Weighted read of memory values.
 
     affinity: [B, P, N]
     values:   [B, N, Cv]        -> returns [B, P, Cv]
            or [B, O, N, Cv]     -> returns [B, O, P, Cv]
     (parity: memory_utils.py:88-95 / memory_manager.py:77-88)
+
+    compute_dtype=bf16 runs the contraction in bf16 (result fp32) — the amp
+    analog: the reference's readout bmm sits OUTSIDE the fp32-forced
+    similarity/softmax block (cutie.py:119-128) and runs half precision
+    under inference autocast. None keeps true-fp32 multiplies.
     """
+    if compute_dtype is not None:
+        a = affinity.astype(compute_dtype)
+        v = values.astype(compute_dtype)
+        eq = "bpn,bnc->bpc" if values.ndim == 3 else "bpn,bonc->bopc"
+        return jnp.einsum(eq, a, v,
+                          preferred_element_type=jnp.float32)
     prec = jax.lax.Precision.HIGHEST
     if values.ndim == 3:
         return jnp.einsum("bpn,bnc->bpc", affinity, values.astype(affinity.dtype),
