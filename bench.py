@@ -63,7 +63,7 @@ def synth_video(t, h, w, seed=0):
     return frames, mask0
 
 
-def run_video(core, frames, mask0, timed: bool = False):
+def run_video(core, frames, mask0):
     """Streaming warm-up pass (compiles every step variant). The returned
     per-frame times are DISPATCH times only over the tunnel — do not report
     them as FPS (see module docstring); use measure_throughput."""

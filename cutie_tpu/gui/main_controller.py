@@ -204,8 +204,8 @@ class MainController:
         self._notify()
 
     def on_clear_non_permanent_memory(self):
-        """Drop working/long-term/sensory memory but keep the permanent
-        prefix (main_controller.py:552-561)."""
+        """Drop working/long-term memory but keep the permanent prefix
+        (main_controller.py:552-561; sensory has its own clear)."""
         self.processor.clear_non_permanent_memory()
         self._notify()
 

@@ -36,7 +36,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cutie_tpu.ops.memory import _float_order_key
+
 NEG_INF = -1e30
+
+
+def _chunk_similarity(mk_ref, ms_ref, valid_ref, qe, qkqe, b_sq,
+                      inv_sqrt_ck, ci, bn):
+    """One [BP, BN] similarity chunk (HIGHEST precision: fp32, matching
+    ops/memory.py — the top-k boundary is sensitive to MXU bf16 rounding);
+    invalid tokens forced to NEG_INF."""
+    mk = mk_ref[pl.ds(ci * bn, bn), :]
+    ms = ms_ref[0, pl.ds(ci * bn, bn)]
+    vd = valid_ref[0, pl.ds(ci * bn, bn)]
+    a_sq = jax.lax.dot_general(qe, mk * mk, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    two_ab = 2.0 * jax.lax.dot_general(qkqe, mk, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.HIGHEST)
+    sim = (-a_sq + two_ab - b_sq) * (ms[None, :] * inv_sqrt_ck)
+    return jnp.where(vd[None, :] > 0.5, sim, NEG_INF)
 
 
 def _first_match_mask(eq, width):
@@ -78,19 +98,8 @@ def _read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
     inv_sqrt_ck = 1.0 / math.sqrt(ck)
 
     def sim_chunk(ci):
-        mk = mk_ref[pl.ds(ci * bn, bn), :]
-        ms = ms_ref[0, pl.ds(ci * bn, bn)]
-        vd = valid_ref[0, pl.ds(ci * bn, bn)]
-        # HIGHEST precision: fp32 similarity, matching ops/memory.py (the
-        # top-k boundary is sensitive to MXU bf16 rounding)
-        a_sq = jax.lax.dot_general(qe, mk * mk, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-        two_ab = 2.0 * jax.lax.dot_general(qkqe, mk, (((1,), (1,)), ((), ())),
-                                           preferred_element_type=jnp.float32,
-                                           precision=jax.lax.Precision.HIGHEST)
-        sim = (-a_sq + two_ab - b_sq) * (ms[None, :] * inv_sqrt_ck)
-        return jnp.where(vd[None, :] > 0.5, sim, NEG_INF)
+        return _chunk_similarity(mk_ref, ms_ref, valid_ref, qe, qkqe, b_sq,
+                                 inv_sqrt_ck, ci, bn)
 
     # ---- pass 1: per-query top-k threshold
     def p1(ci, vals):
@@ -159,28 +168,16 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
     inv_sqrt_ck = 1.0 / math.sqrt(ck)
 
     def p1(ci, _):
-        mk = mk_ref[pl.ds(ci * bn, bn), :]
-        ms = ms_ref[0, pl.ds(ci * bn, bn)]
-        vd = valid_ref[0, pl.ds(ci * bn, bn)]
-        a_sq = jax.lax.dot_general(qe, mk * mk, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-        two_ab = 2.0 * jax.lax.dot_general(qkqe, mk, (((1,), (1,)), ((), ())),
-                                           preferred_element_type=jnp.float32,
-                                           precision=jax.lax.Precision.HIGHEST)
-        sim = (-a_sq + two_ab - b_sq) * (ms[None, :] * inv_sqrt_ck)
-        sim_ref[:, pl.ds(ci * bn, bn)] = jnp.where(vd[None, :] > 0.5, sim,
-                                                   NEG_INF)
+        sim_ref[:, pl.ds(ci * bn, bn)] = _chunk_similarity(
+            mk_ref, ms_ref, valid_ref, qe, qkqe, b_sq, inv_sqrt_ck, ci, bn)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, p1, 0)
 
     # ---- pass 2: radix-select the exact k-th largest per query
-    def order_keys(sim):
-        bits = jax.lax.bitcast_convert_type(sim, jnp.uint32)
-        return jnp.where((bits >> 31) == 0, bits | jnp.uint32(0x80000000),
-                         ~bits)
-
+    # (_float_order_key: the same order-preserving uint32 transform the XLA
+    # radix path uses — one implementation to keep in sync)
+    order_keys = _float_order_key
     kk = jnp.int32(top_k)
 
     def bit_step(i, prefix):

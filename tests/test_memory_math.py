@@ -148,3 +148,30 @@ def test_compact_readout_matches_dense():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(use), np.asarray(use_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_auto_read_backend_policy(monkeypatch):
+    """auto = dense on CPU (golden tie behavior), radix on accelerators,
+    pallas only on real TPU past PALLAS_MIN_TOKENS; explicit settings pass
+    through untouched."""
+    import jax
+    from cutie_tpu.inference import steps
+
+    class S:  # minimal stand-in: _pick_read_backend only reads read_backend
+        _pick = steps.StepFunctions._pick_read_backend
+
+        def __init__(self, rb):
+            self.read_backend = rb
+
+    def pick(rb, n, backend):
+        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+        return S._pick(S(rb), n)
+
+    assert pick("auto", 512, "cpu") == "dense"
+    assert pick("auto", 50000, "cpu") == "dense"
+    assert pick("auto", 512, "tpu") == "dense"
+    assert pick("auto", 8108, "tpu") == "radix"
+    assert pick("auto", 27948, "tpu") == "pallas"
+    assert pick("auto", 27948, "gpu") == "radix"  # Mosaic kernel: TPU only
+    assert pick("pallas", 64, "cpu") == "pallas"  # explicit wins
+    assert pick("dense", 50000, "tpu") == "dense"

@@ -34,7 +34,7 @@ def main():
             t0 = time.perf_counter()
             out = fn(*a, **k)
             leaf = jax.tree_util.tree_leaves(out)[0]
-            np.asarray(leaf)[..., :1]  # forced fetch (block can return early)
+            np.asarray(leaf[..., :1])  # forced TINY fetch (block can return early)
             acc[name] = acc.get(name, 0.0) + (time.perf_counter() - t0)
             return out
         return wrapped

@@ -68,12 +68,12 @@ def capture(batch=2, t=8, hw=480, o=3):
     data = jax.device_put(make_data(batch, t, hw, o))
     jax.block_until_ready(data["frames"])
     losses = trainer.do_pass(data, 0, jax.random.PRNGKey(0))
-    jax.block_until_ready(losses["total_loss"])
+    float(losses["total_loss"])  # forced fetch (block can return early)
     print("warm; tracing 2 steps ...", flush=True)
     jax.profiler.start_trace(TRACE_DIR)
     for i in range(1, 3):
         losses = trainer.do_pass(data, i, jax.random.PRNGKey(i))
-    jax.block_until_ready(losses["total_loss"])
+    float(losses["total_loss"])  # forced fetch (block can return early)
     jax.profiler.stop_trace()
 
 
