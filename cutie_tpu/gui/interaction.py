@@ -10,21 +10,8 @@ from typing import Tuple
 
 import numpy as np
 
+from cutie_tpu.ops.tensor_utils import aggregate_wbg_np as aggregate_wbg
 from cutie_tpu.ritm.utils import ClickController
-
-
-def aggregate_wbg(prob: np.ndarray, keep_bg: bool = False,
-                  hard: bool = False) -> np.ndarray:
-    """(interaction.py:15-27). prob [K, H, W] -> softmax with implicit bg."""
-    bg = np.prod(1 - prob, axis=0, keepdims=True)
-    new_prob = np.clip(np.concatenate([bg, prob], 0), 1e-7, 1 - 1e-7)
-    logits = np.log(new_prob / (1 - new_prob))
-    if hard:
-        logits *= 1000  # very low temperature
-    logits -= logits.max(0, keepdims=True)
-    e = np.exp(logits)
-    sm = e / e.sum(0, keepdims=True)
-    return sm if keep_bg else sm[1:]
 
 
 class Interaction:

@@ -26,11 +26,12 @@ import numpy as np
 from cutie_tpu.inference.image_feature_store import ImageFeatureStore
 from cutie_tpu.inference.object_manager import ObjectManager
 from cutie_tpu.inference.state import (MemoryState, grow_perm, init_state,
-                                       pad_objects, resize_work_ring)
+                                       pad_objects, resize_lt_capacity,
+                                       resize_work_ring)
 from cutie_tpu.inference.steps import StepFunctions
 from cutie_tpu.ops.resize import (bilinear_resize, bilinear_resize_np,
                                   nearest_exact_resize_np)
-from cutie_tpu.ops.tensor_utils import compute_pad
+from cutie_tpu.ops.tensor_utils import aggregate_wbg_np, compute_pad
 
 log = logging.getLogger(__name__)
 
@@ -44,15 +45,6 @@ def _obj_capacity(n: int) -> int:
     return n
 
 
-def _aggregate_np(prob: np.ndarray) -> np.ndarray:
-    """Soft-aggregation + softmax on host (tensor_utils.py:47-54 + softmax)."""
-    prob = prob.astype(np.float32)
-    bg = np.prod(1 - prob, axis=0, keepdims=True)
-    new_prob = np.clip(np.concatenate([bg, prob], axis=0), 1e-7, 1 - 1e-7)
-    logits = np.log(new_prob / (1 - new_prob))
-    logits -= logits.max(axis=0, keepdims=True)
-    e = np.exp(logits)
-    return e / e.sum(axis=0, keepdims=True)
 
 
 class InferenceCore:
@@ -103,7 +95,6 @@ class InferenceCore:
         self._slot_bucket: list = []
         self._next_bucket = 0
         self._new_slots: list = []  # slots created by the current step
-        self.last_mask_shape = None
         self.pad = None
         # host mirrors of device counters (deterministic)
         self._perm_n = 0
@@ -178,6 +169,25 @@ class InferenceCore:
             if self.state is not None:
                 self.state = resize_work_ring(self.state, new_ring)
                 self._work_count = min(self._work_count, new_ring)
+        if self.use_long_term:
+            new_lt_cap = self.max_long_tokens + self.num_prototypes
+            if new_lt_cap != self.lt_capacity:
+                # the LT buffers are fixed-capacity too — a raised
+                # max_num_tokens must reallocate them just like the ring,
+                # or appends past the old capacity silently overwrite the
+                # newest prototypes (and eviction's top_k would trace-error)
+                self.lt_capacity = new_lt_cap
+                if self.state is not None:
+                    self.state = resize_lt_capacity(self.state, new_lt_cap)
+                    self._lt_count = min(self._lt_count, new_lt_cap)
+            # a ring SHRINK can leave the ring full (count == capacity);
+            # consolidate now so the next memorize cannot FIFO-overwrite an
+            # unconsolidated frame (the reference consolidates before any
+            # trim, memory_manager.py:282-296)
+            if (self.state is not None
+                    and self._work_count >= self.ring_frames
+                    and self._work_count > self.min_mem_frames):
+                self._maybe_consolidate()
 
     # -------------------------------------------------------------- internals
 
@@ -400,10 +410,18 @@ class InferenceCore:
             self.curr_ti, image_d, pad=self.pad, input_mode=input_mode)
 
         pred_prob_with_bg = None
+        def empty_result():
+            # free the features cached above (nothing will consume them —
+            # ti advances every step) and match the normal output size
+            if delete_buffer:
+                self.image_feature_store.delete(self.curr_ti)
+            oh, ow = (orig_h, orig_w) if resize_needed else (h, w)
+            return jnp.zeros((1, oh, ow), jnp.float32)
+
         if need_segment:
             if not self.engaged:
                 log.warning("Trying to segment without any memory!")
-                return jnp.zeros((1, h, w), jnp.float32)
+                return empty_result()
             bucket_rep, bucket_sel = self._buckets_dev()
             seg_out = self.steps.segment(
                 self.variables, self.state, feats,
@@ -418,12 +436,12 @@ class InferenceCore:
         if mask is not None:
             if idx_mask and len(objects) == 0:
                 log.warning("Trying to insert an empty mask as memory!")
-                return jnp.zeros((1, h, w), jnp.float32)
+                return empty_result()
             pred_np = (np.asarray(pred_prob_with_bg)
                        if pred_prob_with_bg is not None else None)
             last_mask = self._merge_input_mask(mask, objects, idx_mask, pred_np,
                                                h_pad, w_pad)
-            prob_with_bg_np = _aggregate_np(last_mask)
+            prob_with_bg_np = aggregate_wbg_np(last_mask, keep_bg=True)
             self.state = self.steps.set_last_mask(
                 self.state, jnp.asarray(prob_with_bg_np[None, 1:]))
             pred_prob_with_bg = jnp.asarray(prob_with_bg_np)
@@ -450,8 +468,8 @@ class InferenceCore:
                 new_mask[slot] = 1.0
             self.state = self.steps.memorize(
                 self.variables, self.state, feats,
-                jnp.asarray(self._selector()), jnp.asarray(new_mask),
-                jnp.asarray(True), mode=mode)
+                self._selector_dev(), jnp.asarray(new_mask),
+                self._dev_true, mode=mode)
             self.last_mem_ti = self.curr_ti
             if mode in ("no", "split"):
                 self._maybe_consolidate()

@@ -168,6 +168,40 @@ def resize_work_ring(state: MemoryState, new_frames: int) -> MemoryState:
     )
 
 
+def resize_lt_capacity(state: MemoryState, new_cap: int) -> MemoryState:
+    """Re-allocate the long-term buffers to `new_cap` tokens (host-side, one
+    recompile of the step graphs).
+
+    Supports runtime long_term.max_num_tokens updates (the GUI long-term
+    spinbox funnels into InferenceCore.update_config; reference
+    memory_manager.py:59-75). Grow pads with invalid tokens; shrink keeps
+    the first `new_cap` tokens (the usage-ranked eviction inside
+    consolidation governs which tokens matter — a shrink below the live
+    count simply forces the next eviction earlier)."""
+    cap = state.lt_key.shape[1]
+    if new_cap == cap:
+        return state
+
+    def resize(x, axis):
+        if new_cap > cap:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, new_cap - cap)
+            return jnp.pad(x, pad)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, new_cap)
+        return x[tuple(sl)]
+
+    return state.replace(
+        lt_key=resize(state.lt_key, 1),
+        lt_shrink=resize(state.lt_shrink, 1),
+        lt_value=resize(state.lt_value, 2),
+        lt_obj_valid=resize(state.lt_obj_valid, 1),
+        lt_use=resize(state.lt_use, 1),
+        lt_life=jnp.maximum(resize(state.lt_life, 1), 1e-7),
+        lt_count=jnp.minimum(state.lt_count, new_cap),
+    )
+
+
 def grow_perm(state: MemoryState, new_perm_tokens: int) -> MemoryState:
     """Grow the permanent buffer capacity (host-side, for repeated commits)."""
     def grow(x, axis):

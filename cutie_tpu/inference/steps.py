@@ -385,10 +385,25 @@ class StepFunctions:
             r_b = r_b * bsel[None, :, None, None, None]
             mem_readout = r_b if mem_readout is None else mem_readout + r_b
             if self.save_aux and aux_b is not None:
-                # aux for inspection (reference memory_manager.py:197-206)
-                aux = {"sensory": state.sensory, "pixel_readout": fused_b,
-                       "q_logits": aux_b["logits"],
-                       "attn_mask": aux_b["attn_mask"]}
+                # aux for inspection (reference memory_manager.py:197-206),
+                # merged across buckets on the object axis — a plain
+                # overwrite would keep only the LAST bucket's aux
+                b_sz, o = state.sensory.shape[:2]
+                sel5 = bsel[None, :, None, None, None]
+                q_logits = aux_b["logits"] * sel5  # [B, O, L, H, W]
+                pr = fused_b * sel5                # [B, O, h, w, C]
+                am = aux_b["attn_mask"].reshape(
+                    (b_sz, o) + aux_b["attn_mask"].shape[1:])
+                if aux is None:
+                    aux = {"pixel_readout": pr, "q_logits": q_logits,
+                           "attn_mask": am}
+                else:
+                    keep = bsel.reshape(1, o, 1, 1, 1) > 0.5
+                    aux = {
+                        "pixel_readout": aux["pixel_readout"] + pr,
+                        "q_logits": aux["q_logits"] + q_logits,
+                        "attn_mask": jnp.where(keep, am, aux["attn_mask"]),
+                    }
         sel_b = jnp.broadcast_to(selector[None], state.sensory.shape[:2])
         new_sensory, _logits, prob = apply(
             (feats.f16, feats.f8, feats.f4), mem_readout, state.sensory,
@@ -403,6 +418,8 @@ class StepFunctions:
             last_mask = prob[:, 1:].astype(jnp.float32)
         state = state.replace(sensory=new_sensory, last_mask=last_mask)
         if self.save_aux:
+            if aux is not None:
+                aux["sensory"] = state.sensory
             return state, prob, aux
         return state, prob
 
@@ -544,8 +561,23 @@ class StepFunctions:
         # potentiation: attention of candidates onto prototypes
         sim = get_similarity(cand_key, cand_shr, proto_key, proto_sel)  # [B,P,Nc]
         affinity = softmax_affinity(sim)
-        proto_val = readout(affinity, cand_val)          # [B,O,P,Cv]
         proto_shr = readout(affinity, cand_shr[..., None])[..., 0]  # [B,P]
+        # per-object value potentiation: normalize each object's affinity
+        # over ITS valid candidate frames only — a shared softmax would
+        # average the zero value rows of frames predating a late-added
+        # object into its prototypes (the reference consolidates per
+        # bucket; keys/shrinkage stay shared, the documented deviation)
+        obj_cand_valid = jnp.repeat(state.work_obj_valid[:, frame_idx], hw,
+                                    axis=1)                      # [O, Nc]
+        sim_o = jnp.where(obj_cand_valid[None, :, None, :], sim[:, None],
+                          -1e30)                                 # [B,O,P,Nc]
+        m = jnp.max(sim_o, axis=-1, keepdims=True)
+        e = jnp.where(obj_cand_valid[None, :, None, :],
+                      jnp.exp(sim_o - jnp.maximum(m, -1e29)), 0.0)
+        aff_o = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        proto_val = jnp.einsum("bopn,bonc->bopc", aff_o,
+                               cand_val.astype(jnp.float32),
+                               precision=jax.lax.Precision.HIGHEST)
 
         # optional LT eviction before appending
         if lt_keep is not None:
@@ -572,9 +604,17 @@ class StepFunctions:
             new_lt_use = scatter_keep(state.lt_use, gather1(state.lt_use))
             new_lt_life = jnp.maximum(scatter_keep(state.lt_life, gather1(state.lt_life)),
                                       1e-7)
+            # compact the per-object validity with the SAME permutation —
+            # otherwise surviving tokens carry other tokens' masks.
+            # lt_obj_valid is shared across the batch (like insertion);
+            # batch row 0's keep set is the canonical one.
+            kept_ov = jnp.take_along_axis(
+                state.lt_obj_valid,
+                jnp.broadcast_to(keep_idx[0][None], (o, lt_keep)), axis=1)
+            new_lt_ov = scatter_keep(state.lt_obj_valid, kept_ov)
             state = state.replace(lt_key=new_lt_key, lt_shrink=new_lt_shr,
                                   lt_value=new_lt_val, lt_use=new_lt_use,
-                                  lt_life=new_lt_life,
+                                  lt_life=new_lt_life, lt_obj_valid=new_lt_ov,
                                   lt_count=jnp.asarray(lt_keep, jnp.int32))
 
         # append prototypes at lt_count

@@ -61,6 +61,25 @@ def aggregate(prob: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.log(new_prob / (1.0 - new_prob))
 
 
+def aggregate_wbg_np(prob: np.ndarray, keep_bg: bool = False,
+                     hard: bool = False) -> np.ndarray:
+    """Host-side soft-aggregation + softmax (reference gui/interaction.py:15-27
+    and the softmax step of inference_core.py's mask merging). One
+    implementation for every host path — the device analog is `aggregate`
+    (logits only). prob [K, H, W] -> softmax probs, bg optional, `hard`
+    applies the x1000 low-temperature trick."""
+    prob = prob.astype(np.float32)
+    bg = np.prod(1 - prob, axis=0, keepdims=True)
+    new_prob = np.clip(np.concatenate([bg, prob], 0), 1e-7, 1 - 1e-7)
+    logits = np.log(new_prob / (1 - new_prob))
+    if hard:
+        logits *= 1000  # very low temperature
+    logits -= logits.max(0, keepdims=True)
+    e = np.exp(logits)
+    sm = e / e.sum(0, keepdims=True)
+    return sm if keep_bg else sm[1:]
+
+
 def cls_to_one_hot(cls_gt: np.ndarray, num_objects: int) -> np.ndarray:
     """Index mask [B,1,H,W] -> one-hot [B,num_objects+1,H,W] (host-side numpy;
     reference tensor_utils.py:58-61)."""
