@@ -4,13 +4,14 @@ TPU-native replacement for DistributedSampler + DataLoader workers
 (cutie/dataset/setup_training_data.py:18-87): a deterministic global index
 stream (seeded permutation per epoch) sharded by process_index, decoded by a
 thread pool ahead of the train step. Resumption is exact: the stream position
-is a pure function of (seed, epoch, iteration).
+is a pure function of (seed, epoch, iteration) — train.py fast-forwards
+epoch = it // batches_per_epoch() on checkpoint resume.
 """
 from __future__ import annotations
 
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from queue import Queue
+from queue import Empty, Full, Queue
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -60,13 +61,22 @@ class ShardedLoader:
         rng = np.random.default_rng((self.seed, epoch))
         perm = rng.permutation(len(self.dataset))
         n_batches = self.batches_per_epoch()
+        if n_batches == 0:
+            raise ValueError(
+                f"dataset of {len(self.dataset)} samples is smaller than the "
+                f"global batch ({self.global_batch}): no full batch per epoch")
 
         def load_one(global_idx: int, sample_idx: int):
             sample_rng = np.random.default_rng((self.seed, epoch, int(sample_idx)))
             return self.dataset.get(int(global_idx), sample_rng)
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            pending = Queue()
+            # backpressure: at most prefetch_batches+1 batches decoded ahead
+            # of the consumer — without it the submitter enqueues the WHOLE
+            # epoch (multi-GB of decoded samples accumulate until OOM) and
+            # abandoning the iterator (curriculum rebuild / end of stage)
+            # would block on the executor draining every remaining task
+            pending = Queue(maxsize=max(self.prefetch_batches, 1))
             stop = threading.Event()
 
             def submit_all():
@@ -76,7 +86,14 @@ class ShardedLoader:
                     start = b * self.global_batch + self.process_index * self.local_batch
                     futs = [pool.submit(load_one, perm[start + i], start + i)
                             for i in range(self.local_batch)]
-                    pending.put(futs)  # bounded by queue get pace
+                    while not stop.is_set():
+                        try:
+                            pending.put(futs, timeout=0.2)
+                            break
+                        except Full:
+                            continue
+                    if stop.is_set():
+                        return
                 pending.put(None)
 
             t = threading.Thread(target=submit_all, daemon=True)
@@ -89,3 +106,11 @@ class ShardedLoader:
                     yield collate([f.result() for f in futs])
             finally:
                 stop.set()
+                # unblock the submitter if it is waiting on a full queue,
+                # then drop whatever is in flight (no wait-for-epoch stall)
+                try:
+                    while True:
+                        pending.get_nowait()
+                except Empty:
+                    pass
+                pool.shutdown(wait=False, cancel_futures=True)

@@ -53,7 +53,10 @@ class SyntheticVideoDataset:
         seq_angle, seq_scale, seq_shear = A.sample_affine_params(
             rng, 0, (0.5, 2.0), 0)
         seq_flip = rng.uniform() < 0.5
-        seq_jitter_rng = np.random.default_rng(rng.integers(2 ** 31))
+        # ONE seed for the whole clip: the reference reseeds the sequence
+        # jitter to the same value every frame (static_dataset.py:117-119),
+        # so all frames share identical photometric params
+        seq_jitter_seed = int(rng.integers(2 ** 31))
         gray = rng.uniform() < 0.05
 
         images, masks = [], []
@@ -66,7 +69,7 @@ class SyntheticVideoDataset:
             this_gt = A.apply_affine(this_gt, seq_angle, seq_scale, seq_shear,
                                      fill=0, nearest=True)
             pil = Image.fromarray(this_im)
-            jr = np.random.default_rng(seq_jitter_rng.integers(2 ** 31))
+            jr = np.random.default_rng(seq_jitter_seed)
             pil = A.color_jitter(jr, pil, 0.1, 0.05, 0.05, 0.05)
             if gray:
                 pil = pil.convert("L").convert("RGB")
@@ -95,7 +98,10 @@ class SyntheticVideoDataset:
                 this_im, this_gt = A.random_tps_warp(rng, this_im, this_gt,
                                                      scale=0.02)
             images.append(this_im.astype(np.float32) / 255.0)
-            masks.append((this_gt > 127).astype(np.float32))
+            # keep the CONTINUOUS mask: saliency GTs have soft boundaries
+            # and the reference composites with soft alpha
+            # (static_dataset.py:160); labels binarize at >0.5 in get()
+            masks.append(this_gt.astype(np.float32) / 255.0)
 
         return np.stack(images), np.stack(masks)
 

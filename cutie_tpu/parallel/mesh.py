@@ -3,8 +3,9 @@
 TPU-native replacement for the reference's NCCL/DDP stack
 (cutie/train.py:24-29, cutie/model/trainer.py:32-35): a 1-D `data` mesh with
 batch-sharded inputs and replicated params; XLA inserts the gradient
-all-reduce over ICI. Multi-host via jax.distributed.initialize() composes
-transparently (jax.devices() spans hosts).
+all-reduce over ICI. Multi-host via jax.distributed.initialize():
+jax.devices() spans hosts, and shard_batch assembles the global batch from
+each process's LOCAL shard (jax.make_array_from_process_local_data).
 """
 from __future__ import annotations
 
@@ -32,6 +33,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device_put a host batch with the leading axis sharded."""
+    """Upload a host batch with the leading axis sharded over the mesh.
+
+    Single process: a plain sharded device_put. Multi-host: each process
+    holds only its LOCAL rows (ShardedLoader shards the global batch by
+    process_index), so the global array must be assembled from per-process
+    shards — device_put with a global sharding would treat the local rows
+    as the whole global batch (wrong data, and a shape error whenever
+    local_batch < num_devices)."""
     sh = data_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -192,8 +192,13 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     trainer = Trainer(cfg=cfg, stage_cfg=stage_cfg, model=model,
                       variables=variables, mesh=mesh)
-    if cfg.checkpoint is not None and stage == "main_training":
+    if cfg.checkpoint is not None:
+        # resume applies to the FIRST enabled stage only (reference
+        # train.py:84-89 loads then clears) — without the clear, a stale
+        # pre_training checkpoint would be re-loaded INTO main_training,
+        # clobbering the freshly adapted hand-off weights
         trainer.load_checkpoint(cfg.checkpoint)
+        cfg.checkpoint = None
 
     integrator = Integrator(logger)
     logger.time_estimator = TimeEstimator(stage_cfg.num_iterations,
@@ -212,7 +217,16 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
     loader = build_loader(max_skip_values[0])
     it = trainer.it
     rng = jax.random.PRNGKey(seed)
-    epoch = 0
+    # checkpoint resume: fast-forward the deterministic stream to the
+    # epoch the run stopped in (reference train.py restores
+    # current_epoch = curr_iter // len(loader)); also advance the
+    # curriculum pointer so the right max_skip loader is built
+    epoch = it // max(loader.batches_per_epoch(), 1)
+    while (stage == "main_training" and skip_i < len(max_skip_fracs) - 1
+           and it >= max_skip_fracs[skip_i + 1] * total_iter):
+        skip_i += 1
+    if skip_i > 0:
+        loader = build_loader(max_skip_values[skip_i])
     def split_host_keys(data):
         """Host-side extras (vis / bookkeeping) stay numpy; the rest uploads."""
         data.pop("info", None)
@@ -253,10 +267,18 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
                         and jax.process_index() == 0):
                     # image/GT/prediction grids (reference trainer.py:113-118)
                     from cutie_tpu.utils.image_saver import vis_sequence
+                    logits = trainer.last_logits
+                    if jax.process_count() > 1:
+                        # only this process's rows are addressable; they
+                        # line up with the process-local host batch
+                        shards = sorted(logits.addressable_shards,
+                                        key=lambda s: s.index)
+                        logits = np.concatenate(
+                            [np.asarray(s.data) for s in shards])
                     grid = vis_sequence(
                         {"frames": np.asarray(host_frames),
                          "cls_gt": np.asarray(cls_gt)},
-                        np.asarray(trainer.last_logits))
+                        np.asarray(logits))
                     logger.log_image(f"train/{stage}", grid, it)
                 if it % cfg.save_weights_interval == 0 and jax.process_index() == 0:
                     trainer.save_weights(path.join(run_path, f"weights_{it}.npz"))

@@ -156,7 +156,10 @@ class Trainer:
         # vis grids every log_image_interval (reference trainer.py:113-118)
         # fetch the device array only when asked — free otherwise (async)
         self.last_logits = logits
-        self.it = it
+        # completed-step count: the caller increments its `it` AFTER this
+        # call, and checkpoints must record the post-increment value or a
+        # resume repeats one step and shifts every save/log boundary
+        self.it = it + 1
         return losses
 
     # ------------------------------------------------------------ checkpoints

@@ -139,7 +139,9 @@ def test_checkpoint_roundtrip(tmp_path):
 
     trainer2 = Trainer(cfg=cfg, stage_cfg=stage, model=model, variables=variables)
     it = trainer2.load_checkpoint(ckpt)
-    assert it == 0
+    # trainer.it counts COMPLETED steps: one do_pass(data, 0) -> 1, so a
+    # resume continues at step 1 instead of repeating step 0
+    assert it == 1
     p1 = jax.tree.leaves(trainer.params)[0]
     p2 = jax.tree.leaves(trainer2.params)[0]
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
