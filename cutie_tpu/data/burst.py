@@ -68,7 +68,7 @@ class BURSTVideoReader:
 
         info["shape"] = shape
         info["resize_needed"] = not (self.size < 0)
-        info["time_index"] = self.frames.index(frame)
+        info["time_index"] = idx
         info["path_to_image"] = im_path
         data["rgb"] = np.asarray(img, np.uint8)
         data["info"] = info
@@ -91,8 +91,11 @@ class BURSTTestDataset:
             self.json = json.load(f)
         self.sequences = self.json["sequences"]
 
-    def get_datasets(self) -> Iterable[BURSTVideoReader]:
-        for sequence in self.sequences:
+    def get_datasets(self, process_index: int = 0,
+                     process_count: int = 1) -> Iterable[BURSTVideoReader]:
+        for vi, sequence in enumerate(self.sequences):
+            if vi % process_count != process_index:
+                continue
             yield BURSTVideoReader(self.image_dir, sequence, size=self.size,
                                    skip_frames=self.skip_frames)
 
@@ -108,6 +111,8 @@ class BURSTResultHandler:
     def add_sequence(self, sequence_json: Dict) -> None:
         self.dataset_json["sequences"].append(sequence_json)
 
-    def dump(self, root: str) -> None:
-        with open(path.join(root, "predictions.json"), "w") as f:
+    def dump(self, root: str, suffix: str = "") -> None:
+        """suffix distinguishes per-process files in multi-host eval (each
+        handler holds a disjoint video shard)."""
+        with open(path.join(root, f"predictions{suffix}.json"), "w") as f:
             json.dump(self.dataset_json, f)

@@ -95,7 +95,14 @@ class VideoReader:
         resize_needed = (input_shape != output_shape) or (
             self.size > 0 and min(input_shape) > self.size)
         if resize_needed:
-            img = _resize_shorter(img, self.size, Image.BILINEAR)
+            if self.size > 0:
+                img = _resize_shorter(img, self.size, Image.BILINEAR)
+            else:
+                # size_dir override with full-res eval (size<0): match the
+                # size_dir shape exactly (a shorter-edge resize to -1 would
+                # compute negative dimensions)
+                img = img.resize((output_shape[1], output_shape[0]),
+                                 Image.BILINEAR)
 
         load_mask = self.use_all_mask or (frame[:-4] == self.first_mask_frame[:-4])
         if load_mask:
@@ -103,7 +110,11 @@ class VideoReader:
             if path.exists(mask_path):
                 mask = Image.open(mask_path)
                 if resize_needed:
-                    mask = _resize_shorter(mask, self.size, Image.NEAREST)
+                    if self.size > 0:
+                        mask = _resize_shorter(mask, self.size, Image.NEAREST)
+                    else:
+                        mask = mask.resize((output_shape[1], output_shape[0]),
+                                           Image.NEAREST)
                 mask = np.array(mask).astype(np.int64)
                 if self.use_long_id:
                     assert mask.ndim == 3, "RGB masks should have 3 dimensions"
@@ -117,7 +128,6 @@ class VideoReader:
 
         info["shape"] = output_shape
         info["resize_needed"] = resize_needed
-        info["time_index"] = self._all_frames.index(frame)
         info["path_to_image"] = im_path
         # uint8 HWC: InferenceCore uploads this raw and converts on device
         data["rgb"] = np.asarray(img, np.uint8)
@@ -159,8 +169,15 @@ class VOSTestDataset:
                     req_frames.extend(value["frames"])
                 self.req_frame_list[vid] = list(set(req_frames))
 
-    def get_datasets(self) -> Iterable[VideoReader]:
-        for video in self.vid_list:
+    def get_datasets(self, process_index: int = 0,
+                     process_count: int = 1) -> Iterable[VideoReader]:
+        """Yield per-video readers; with process_count > 1 only every
+        process_count-th video is CONSTRUCTED (VideoReader.__init__ does
+        directory listings + opens the first mask — filtering afterwards
+        would pay that I/O for every skipped video on every host)."""
+        for vi, video in enumerate(self.vid_list):
+            if vi % process_count != process_index:
+                continue
             yield VideoReader(
                 video,
                 path.join(self.image_dir, video),

@@ -84,9 +84,8 @@ def eval_vos(cfg) -> dict:
     # single-process eval)
     pidx, pcnt = jax.process_index(), jax.process_count()
 
-    for vi, vid_reader in enumerate(meta_dataset.get_datasets()):
-        if vi % pcnt != pidx:
-            continue
+    for vid_reader in meta_dataset.get_datasets(process_index=pidx,
+                                                 process_count=pcnt):
         vid_name = vid_reader.vid_name
         vid_length = len(vid_reader)
         log.info("Processing %s (%d frames)", vid_name, vid_length)
@@ -126,25 +125,27 @@ def eval_vos(cfg) -> dict:
                     valid_labels = [int(x) for x in valid_labels]
                 info = data["info"]
 
-                t0 = time.perf_counter()
                 skip = not first_mask_loaded and mask is None
                 if mask is not None:
                     first_mask_loaded = True
                 if not skip:
+                    # timed window = the step alone (reference CUDA-event
+                    # semantics); the blocking prefetch fetch below would
+                    # otherwise count host decode stalls as model time.
+                    # The tiny D2H fetch forces completion: on tunneled
+                    # devices jax.block_until_ready can return before
+                    # execution finishes (see bench.py methodology note)
+                    t0 = time.perf_counter()
                     prob = processor.step(image, mask, valid_labels,
                                           end=(ti == vid_length - 1))
+                    np.asarray(prob[:1, :1, :1])
+                    total_process_time += time.perf_counter() - t0
+                    total_frames += 1
                 _, buf = next(stream, (None, None))
                 if buf is not None and can_preupload(buf["rgb"]):
                     next_rgb_d = jax.device_put(buf["rgb"])
                 if skip:
                     continue
-                # force completion with a tiny D2H fetch: on tunneled/remote
-                # devices jax.block_until_ready can return before execution
-                # finishes and silently turns this into a dispatch-latency
-                # measurement (see bench.py methodology note)
-                np.asarray(prob[:1, :1, :1])
-                total_process_time += time.perf_counter() - t0
-                total_frames += 1
 
                 if save_all or info["save"]:
                     saver.process(prob, info["frame"],
@@ -171,9 +172,20 @@ def eval_vos(cfg) -> dict:
     except Exception:
         pass
 
-    make_zip(dataset_name, run_dir, cfg.exp_id, mask_output_root)
-    if is_burst:
-        burst_handler.dump(run_dir)
+    if pcnt > 1:
+        # all hosts must finish writing masks before rank 0 zips; BURST
+        # handlers hold disjoint video shards, so each dumps its own file
+        # (merge offline) instead of last-writer-wins on predictions.json
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("eval_vos_results_written")
+        if is_burst:
+            burst_handler.dump(run_dir, suffix=f"_rank{pidx}")
+        if pidx == 0:
+            make_zip(dataset_name, run_dir, cfg.exp_id, mask_output_root)
+    else:
+        make_zip(dataset_name, run_dir, cfg.exp_id, mask_output_root)
+        if is_burst:
+            burst_handler.dump(run_dir)
     return {"fps": fps, "total_frames": total_frames}
 
 

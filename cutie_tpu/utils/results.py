@@ -66,6 +66,8 @@ class ResultSaver:
             self.json_style = "burst"
 
         self.queue: Queue = Queue(maxsize=10)
+        self.error: Optional[BaseException] = None  # set by the saver thread
+        self._ended = False
         self.thread = Thread(target=save_result, args=(self.queue,), daemon=True)
         self.thread.start()
 
@@ -95,9 +97,18 @@ class ResultSaver:
             last_frame=last_frame))
 
     def end(self):
+        # idempotent: a second end() (e.g. from an exception handler after a
+        # successful end) must not enqueue another sentinel — the consumer
+        # is gone and queue.join() would deadlock
+        if self._ended:
+            return
+        self._ended = True
         self.queue.put(None)
         self.queue.join()
         self.thread.join()
+        if self.error is not None:
+            raise RuntimeError(
+                f"saver thread failed for {self.video_name}") from self.error
 
 
 @dataclass
@@ -118,73 +129,82 @@ def save_result(queue: Queue):
         if args is None:
             queue.task_done()
             break
+        try:
+            _save_one(args)
+        except BaseException as e:  # noqa: BLE001 — surfaced by end()
+            log.exception("saver thread error on %s", args.frame_name)
+            if args.saver.error is None:
+                args.saver.error = e
+        finally:
+            queue.task_done()
 
-        saver = args.saver
-        mask = args.mask
-        frame_name = args.frame_name
-        all_obj_ids = [k.id for k in args.obj_to_tmp_id]
-        rgb_mask = None
 
-        if saver.json_style == "burst":
-            if frame_name in saver.annotated_frames:
-                frame_index = saver.annotated_frames.index(frame_name)
-                input_segments = saver.input_segmentations[frame_index]
-                frame_segments = saver.segmentations[frame_index]
-                for id in all_obj_ids:
-                    if str(id) in input_segments or id in input_segments:
-                        key = str(id) if str(id) in input_segments else id
-                        frame_segments[key] = input_segments[key]
-                        continue
-                    segment_mask = (mask == id)
-                    if segment_mask.sum() > 0:
-                        coco = rle_codec.encode(segment_mask)
-                        frame_segments[id] = {"rle": coco["counts"]}
+def _save_one(args: ResultArgs):
+    """Write one queued result (mask/scores/visualization)."""
+    saver = args.saver
+    mask = args.mask
+    frame_name = args.frame_name
+    all_obj_ids = [k.id for k in args.obj_to_tmp_id]
+    rgb_mask = None
 
-        if saver.save_mask:
-            if saver.use_long_id:
-                out_mask = mask.astype(np.uint32)
-                rgb_mask = np.zeros((*out_mask.shape[-2:], 3), dtype=np.uint8)
-                for id in all_obj_ids:
-                    _, image = saver.id2rgb_converter.convert(id)
-                    rgb_mask[out_mask == id] = image
-                out_img = Image.fromarray(rgb_mask)
-            else:
-                out_mask = mask.astype(np.uint8)
-                out_img = Image.fromarray(out_mask)
-                if saver.palette is not None:
-                    out_img.putpalette(saver.palette)
-            this_out_path = path.join(saver.output_root, saver.video_name)
-            os.makedirs(this_out_path, exist_ok=True)
-            out_img.save(path.join(this_out_path, frame_name[:-4] + ".png"))
+    if saver.json_style == "burst":
+        if frame_name in saver.annotated_frames:
+            frame_index = saver.annotated_frames.index(frame_name)
+            input_segments = saver.input_segmentations[frame_index]
+            frame_segments = saver.segmentations[frame_index]
+            for id in all_obj_ids:
+                if str(id) in input_segments or id in input_segments:
+                    key = str(id) if str(id) in input_segments else id
+                    frame_segments[key] = input_segments[key]
+                    continue
+                segment_mask = (mask == id)
+                if segment_mask.sum() > 0:
+                    coco = rle_codec.encode(segment_mask)
+                    frame_segments[id] = {"rle": coco["counts"]}
 
-        if saver.save_scores:
-            this_out_path = path.join(saver.score_output_root, saver.video_name)
-            os.makedirs(this_out_path, exist_ok=True)
-            prob_u8 = (args.prob * 255).astype(np.uint8)
-            if args.last_frame:
-                backward = {obj.id: tmp for obj, tmp in args.obj_to_tmp_id.items()}
-                np.savez(path.join(this_out_path, "backward.npz"), **{
-                    str(k): np.asarray(v) for k, v in backward.items()})
-            np.savez_compressed(
-                path.join(this_out_path, f"{frame_name[:-4]}.npz"), prob=prob_u8)
+    if saver.save_mask:
+        if saver.use_long_id:
+            out_mask = mask.astype(np.uint32)
+            rgb_mask = np.zeros((*out_mask.shape[-2:], 3), dtype=np.uint8)
+            for id in all_obj_ids:
+                _, image = saver.id2rgb_converter.convert(id)
+                rgb_mask[out_mask == id] = image
+            out_img = Image.fromarray(rgb_mask)
+        else:
+            out_mask = mask.astype(np.uint8)
+            out_img = Image.fromarray(out_mask)
+            if saver.palette is not None:
+                out_img.putpalette(saver.palette)
+        this_out_path = path.join(saver.output_root, saver.video_name)
+        os.makedirs(this_out_path, exist_ok=True)
+        out_img.save(path.join(this_out_path, frame_name[:-4] + ".png"))
 
-        if saver.visualize:
-            if args.path_to_image is None:
-                raise ValueError("Cannot visualize without path_to_image")
-            image_np = np.array(Image.open(args.path_to_image))
-            if rgb_mask is None:
-                out_mask = mask.astype(np.uint32)
-                rgb_mask = np.zeros((*out_mask.shape, 3), dtype=np.uint8)
-                for id in all_obj_ids:
-                    rgb_mask[out_mask == id] = saver.colors[id]
-            alpha = ((mask == 0).astype(np.float32) * 0.5 + 0.5)[:, :, None]
-            blend = (image_np * alpha + rgb_mask * (1 - alpha)).astype(np.uint8)
-            this_vis_path = path.join(saver.visualize_output_root, saver.video_name)
-            os.makedirs(this_vis_path, exist_ok=True)
-            Image.fromarray(blend).save(
-                path.join(this_vis_path, frame_name[:-4] + ".jpg"))
+    if saver.save_scores:
+        this_out_path = path.join(saver.score_output_root, saver.video_name)
+        os.makedirs(this_out_path, exist_ok=True)
+        prob_u8 = (args.prob * 255).astype(np.uint8)
+        if args.last_frame:
+            backward = {obj.id: tmp for obj, tmp in args.obj_to_tmp_id.items()}
+            np.savez(path.join(this_out_path, "backward.npz"), **{
+                str(k): np.asarray(v) for k, v in backward.items()})
+        np.savez_compressed(
+            path.join(this_out_path, f"{frame_name[:-4]}.npz"), prob=prob_u8)
 
-        queue.task_done()
+    if saver.visualize:
+        if args.path_to_image is None:
+            raise ValueError("Cannot visualize without path_to_image")
+        image_np = np.array(Image.open(args.path_to_image))
+        if rgb_mask is None:
+            out_mask = mask.astype(np.uint32)
+            rgb_mask = np.zeros((*out_mask.shape, 3), dtype=np.uint8)
+            for id in all_obj_ids:
+                rgb_mask[out_mask == id] = saver.colors[id]
+        alpha = ((mask == 0).astype(np.float32) * 0.5 + 0.5)[:, :, None]
+        blend = (image_np * alpha + rgb_mask * (1 - alpha)).astype(np.uint8)
+        this_vis_path = path.join(saver.visualize_output_root, saver.video_name)
+        os.makedirs(this_vis_path, exist_ok=True)
+        Image.fromarray(blend).save(
+            path.join(this_vis_path, frame_name[:-4] + ".jpg"))
 
 
 def make_zip(dataset, run_dir, exp_id, mask_output_root):
