@@ -349,7 +349,9 @@ class StepFunctions:
         rd, usage = sharded_topk_readout(
             padn(mem_key, 1), padn(mem_shrink, 1), qk, qe,
             padn(mem_value, 2), valid_p, self.top_k, self.mem_mesh,
-            return_usage=self.use_long_term)
+            return_usage=self.use_long_term,
+            compute_dtype=(jnp.bfloat16
+                           if self.model.dtype == jnp.bfloat16 else None))
         if self.use_long_term:
             usage = usage[:, :n]
         return rd, usage

@@ -19,6 +19,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # silent truncation would let an N-device validation "pass" on
+            # one device without exercising a single collective
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

@@ -42,10 +42,8 @@ from cutie_tpu.ops.memory import get_similarity
 
 
 def make_mem_mesh(n_devices: Optional[int] = None, axis: str = "mem") -> Mesh:
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis,))
+    from cutie_tpu.parallel.mesh import make_mesh
+    return make_mesh(n_devices, axis=axis)
 
 
 def shard_memory(mesh: Mesh, mem_key, mem_shrink, values, valid,
@@ -57,6 +55,9 @@ def shard_memory(mesh: Mesh, mem_key, mem_shrink, values, valid,
     buffers grow in power-of-two chunks, so pick a chunk that is a
     multiple of the mesh).
     """
+    n, d = mem_key.shape[1], mesh.shape[axis]
+    if n % d != 0:
+        raise ValueError(f"token axis {n} not divisible by mesh size {d}")
     kv = NamedSharding(mesh, P(None, axis, None))
     tok = NamedSharding(mesh, P(None, axis))
     val = NamedSharding(mesh, P(None, None, axis, None))
@@ -73,7 +74,8 @@ def sharded_topk_readout(mem_key: jnp.ndarray,
                          top_k: int,
                          mesh: Mesh,
                          axis: str = "mem",
-                         return_usage: bool = False
+                         return_usage: bool = False,
+                         compute_dtype=None
                          ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Exact top-k softmax readout with memory tokens sharded over `axis`.
 
@@ -107,13 +109,25 @@ def sharded_topk_readout(mem_key: jnp.ndarray,
         all_vals = jax.lax.all_gather(loc_vals, axis, axis=2, tiled=True)
         glob_vals = jax.lax.top_k(all_vals, k)[0]           # [B, P, k]
         thresh = glob_vals[..., -1:]                        # k-th largest
-        # exp without max subtraction: similarity <= 0 by construction
-        # (ops/memory.py:89-93); -inf invalid entries exp to 0.
-        z = jnp.sum(jnp.exp(glob_vals), axis=-1, keepdims=True)
-        aff = jnp.where(sim >= thresh, jnp.exp(sim), 0.0)
+        # subtract the GLOBAL max (top-1, known on every shard after the
+        # gather) before exponentiating: with q_sel the similarity is <= 0
+        # by construction, but the qe-less form can be positive and a raw
+        # exp would overflow to inf -> NaN affinities. The subtraction
+        # cancels in the ratio, so results are unchanged where the raw
+        # form was finite.
+        m = glob_vals[..., :1]
+        z = jnp.sum(jnp.exp(glob_vals - m), axis=-1, keepdims=True)
+        aff = jnp.where(sim >= thresh, jnp.exp(sim - m), 0.0)
         aff = aff / jnp.maximum(z, 1e-30)                   # [B, P, N/D]
-        rd = jnp.einsum("bpn,bonc->bopc", aff, vals.astype(aff.dtype),
-                        precision=jax.lax.Precision.HIGHEST)
+        if compute_dtype is not None:
+            # amp: contraction in bf16 like the dense backend's readout
+            # (ops/memory.readout compute_dtype; the reference's autocast)
+            rd = jnp.einsum("bpn,bonc->bopc", aff.astype(compute_dtype),
+                            vals.astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+        else:
+            rd = jnp.einsum("bpn,bonc->bopc", aff, vals.astype(aff.dtype),
+                            precision=jax.lax.Precision.HIGHEST)
         rd = jax.lax.psum(rd, axis)
         usage = aff.sum(axis=1) if return_usage else jnp.zeros((1,))
         return rd, usage
