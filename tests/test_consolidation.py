@@ -202,3 +202,52 @@ def test_early_return_frees_features_and_matches_resolution():
     out = core_rs.step(frames[0])
     assert out.shape == (1,) + frames[0].shape[-2:]
     assert len(core_rs.image_feature_store) == 0
+
+
+def test_multibucket_lt_eviction_stream():
+    """End-to-end: mid-video object addition (two buckets) streamed long
+    enough that LT consolidation AND usage-ranked eviction both run. Drives
+    the round-2 fixes (obj-validity compaction, per-object potentiation)
+    through the real InferenceCore path and checks the invariants."""
+    import numpy as np
+
+    from tests.conftest import require_golden
+    from tests.test_inference_stream import _build_core
+
+    rec = dict(np.load(require_golden("stream_small_adddel.npz")))
+    frames, mask0, mask2 = rec["frames"], rec["mask0"], rec["mask2"]
+
+    # tiny LT budgets force consolidation + eviction within the clip:
+    # ring of 3 (max 2 + slack), candidates consolidate every ~2 memorized
+    # frames, LT caps at 64 tokens with a 16-token buffer
+    core = _build_core(use_long_term=True, cfg_extra={
+        "mem_every": 1,
+        "long_term": {"count_usage": True, "max_mem_frames": 3,
+                      "min_mem_frames": 1, "num_prototypes": 8,
+                      "max_num_tokens": 64, "buffer_tokens": 16},
+    })
+
+    t = frames.shape[0]
+    evicted = False
+    for rep in range(3):  # loop the clip to accumulate enough LT tokens
+        for ti in range(t):
+            step_i = rep * t + ti
+            if step_i == 0:
+                prob = core.step(frames[ti], np.where(mask0 == 1, 1, 0),
+                                 objects=[1])
+            elif step_i == 4:
+                prob = core.step(frames[ti], mask2, objects=[2])  # bucket 2
+            else:
+                prob = core.step(frames[ti])
+            p = np.asarray(prob)
+            assert np.isfinite(p).all()
+            assert p.min() >= 0 and p.max() <= 1 + 1e-5
+            lcap = core.state.lt_key.shape[1]
+            assert core._lt_count <= lcap
+            if core._lt_count >= core.max_long_tokens - core.num_prototypes:
+                evicted = True
+    assert core._lt_count > 0, "consolidation never ran"
+    assert evicted or core._lt_count > 32, "LT never approached its cap"
+    # both buckets' objects must hold valid LT tokens after eviction churn
+    ov = np.asarray(core.state.lt_obj_valid[:, :core._lt_count])
+    assert ov[0].any() and ov[1].any()
