@@ -13,7 +13,7 @@ import numpy as np
 
 from cutie_tpu.ritm.inference import InteractiveController
 from cutie_tpu.ritm.model import HRNetISModel
-from cutie_tpu.ritm.weight_import import convert_ritm_state_dict, load_ritm_checkpoint
+from cutie_tpu.ritm.weight_import import convert_ritm_state_dict, load_ritm_raw
 
 log = logging.getLogger(__name__)
 
@@ -40,9 +40,7 @@ def load_is_model(checkpoint_path: Optional[str], **model_overrides):
     sd = None
     if checkpoint_path:
         try:
-            import torch
-            raw = torch.load(checkpoint_path, map_location="cpu",
-                             weights_only=False)
+            raw = load_ritm_raw(checkpoint_path)
             if isinstance(raw, dict) and "config" in raw:
                 import json
                 config = json.loads(raw["config"]) if isinstance(

@@ -204,11 +204,26 @@ def convert_ritm_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any]
     return new_vars
 
 
-def load_ritm_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Load a RITM .pth (may embed a serialized config; we only need tensors)."""
+def load_ritm_raw(path: str):
+    """torch.load a RITM .pth, preferring the safe weights_only mode.
+
+    RITM checkpoints store tensors + a JSON config string, which
+    weights_only=True can handle; only fall back to full unpickling (which
+    executes arbitrary code from untrusted files) for exotic checkpoints,
+    with a warning."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # noqa: BLE001 — legacy pickled checkpoints
+        log.warning("%s is not weights_only-loadable; falling back to full "
+                    "unpickling — only do this for trusted files.", path)
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_ritm_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a RITM .pth state dict (tensors only)."""
+    sd = load_ritm_raw(path)
     if "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}

@@ -71,15 +71,23 @@ def build_model(cfg: Config, weights: Optional[str] = None,
 
         if weights.endswith(".npz"):
             sd = dict(np.load(weights))
+            if any(k.startswith(("params/", "batch_stats/")) for k in sd):
+                # our own trainer.save_weights format (flax paths, HWIO) —
+                # routing it through the torch converter would match zero
+                # keys and silently produce a garbage model
+                from cutie_tpu.training.trainer import load_weights_npz
+                return ModelBundle(model=model,
+                                   variables=load_weights_npz(weights),
+                                   cfg=cfg)
         else:
             sd = load_torch_checkpoint(weights)
         sd = apply_object_surgery(sd, single_object, cfg.model.sensory_dim,
                                   cfg.model.value_dim)
-        shapes = jax.eval_shape(
-            model.init, jax.random.PRNGKey(0),
-            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2, 64, 64)))
-        zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
-        variables = convert_torch_state_dict(sd, zeros, strict=False)
+        # unmapped keys fall back to a REAL initialization (strict=False):
+        # an eval_shape zeros tree would silently zero-fill any param the
+        # key mapping misses (and zero BN variance)
+        targets = init_variables(model)
+        variables = convert_torch_state_dict(sd, targets, strict=False)
     else:
         if weights:
             log.warning("Weights %s not found; using random init.", weights)
@@ -93,27 +101,55 @@ def download_models_if_needed(weights_path: str) -> None:
     import hashlib
     import urllib.request
 
+    if not weights_path:
+        return
     name = os.path.basename(weights_path)
-    if os.path.exists(weights_path) or name not in _WEIGHT_URLS:
+    if name not in _WEIGHT_URLS:
         return
     url, md5 = _WEIGHT_URLS[name]
+
+    def md5_ok(p):
+        with open(p, "rb") as f:
+            return hashlib.md5(f.read()).hexdigest() == md5
+
+    if os.path.exists(weights_path):
+        # re-verify like the reference (download_models.py:19): a partial
+        # download left on disk would otherwise wedge every future run
+        if md5_ok(weights_path):
+            return
+        log.warning("md5 mismatch for existing %s; re-downloading.",
+                    weights_path)
+        os.remove(weights_path)
     os.makedirs(os.path.dirname(weights_path) or ".", exist_ok=True)
+    tmp_path = weights_path + ".part"
     try:
         log.info("Downloading %s ...", url)
-        urllib.request.urlretrieve(url, weights_path)
+        urllib.request.urlretrieve(url, tmp_path)
     except OSError as e:
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
         log.warning("Could not download weights (%s); continuing without.", e)
         return
-    with open(weights_path, "rb") as f:
-        if hashlib.md5(f.read()).hexdigest() != md5:
-            raise RuntimeError(f"md5 mismatch for {weights_path}")
+    if not md5_ok(tmp_path):
+        os.remove(tmp_path)
+        raise RuntimeError(f"md5 mismatch for downloaded {weights_path}")
+    os.replace(tmp_path, weights_path)
 
 
 def get_default_model(weights: Optional[str] = None) -> ModelBundle:
-    """Reference-parity default: cutie-base(-mega) at eval settings."""
+    """Reference-parity default: cutie-base(-mega) at eval settings.
+
+    Raises if the weights cannot be found/downloaded — the reference's
+    torch.load would; silently returning a random-init model gives a
+    zero-exit run producing nonsense masks."""
     cfg = eval_config("base")
     if weights is not None:
         cfg.weights = weights
     get_dataset_cfg(cfg)
     download_models_if_needed(cfg.weights)
+    if not (cfg.weights and os.path.exists(str(cfg.weights))):
+        raise FileNotFoundError(
+            f"model weights not found at {cfg.weights!r} and could not be "
+            f"downloaded; pass an explicit path (build_model(weights=None) "
+            f"gives an un-trained model deliberately)")
     return build_model(cfg, cfg.weights)

@@ -65,6 +65,13 @@ def apply_object_surgery(sd: Dict[str, np.ndarray], single_object: bool,
         if k in sd and sd[k].shape[1] == 5:
             log.warning("Converting %s from multiple objects to single object.", k)
             sd[k] = sd[k][:, :-1]
+        # the reference trims BOTH surgery sites (cutie.py:246-254); without
+        # this, loading a multi-object .pth in single_object mode fails on
+        # the sensory_compress shape
+        k = "pixel_fuser.sensory_compress.weight"
+        if k in sd and sd[k].shape[1] == sensory_dim + 2:
+            log.warning("Converting %s from multiple objects to single object.", k)
+            sd[k] = sd[k][:, :-1]
     return sd
 
 
@@ -105,12 +112,8 @@ def _set_in(tree, path, value):
     node[path[-1]] = value
 
 
-def _torch_key_candidates(path: Tuple[str, ...]) -> Tuple[Tuple[str, ...], str, str]:
-    """Map our param path -> (torch module path segments, torch param name, kind).
-
-    kind in {'conv', 'linear', 'conv1d', 'plain', 'bn_scale', 'bn_bias',
-             'bn_mean', 'bn_var', 'ln_scale', 'mha_q', 'mha_k', 'mha_v'}.
-    """
+def _torch_key_candidates(path: Tuple[str, ...]) -> Tuple[Tuple[str, ...], str]:
+    """Map our param path -> (torch module path segments, torch leaf name)."""
     segs = list(path[:-1])
     leaf = path[-1]
 
@@ -180,9 +183,6 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any
             if collection == "batch_stats":
                 tname = {"mean": "running_mean", "var": "running_var"}[leaf]
                 value = fetch(".".join(mod_path + (tname,)))
-            elif leaf in ("q", "k", "v") or (leaf == "kernel" and len(path) >= 2
-                                             and path[-2] in ("q", "k", "v")):
-                pass  # handled below via parent mha
             if collection == "params":
                 # Multihead attention packed qkv
                 if len(mod_path) >= 2 and mod_path[-1] in ("q", "k", "v"):
