@@ -161,14 +161,6 @@ class InferenceCore:
         else:
             self.max_mem_frames = cfg["max_mem_frames"] - 1
             new_ring = max(self.max_mem_frames, 1)
-        if new_ring != self.ring_frames:
-            # re-allocate the ring so raised budgets actually take effect
-            # (reference memory grows live, memory_manager.py:59-75; the GUI
-            # work-memory spinboxes funnel here, main_controller.py:532-540)
-            self.ring_frames = new_ring
-            if self.state is not None:
-                self.state = resize_work_ring(self.state, new_ring)
-                self._work_count = min(self._work_count, new_ring)
         if self.use_long_term:
             new_lt_cap = self.max_long_tokens + self.num_prototypes
             if new_lt_cap != self.lt_capacity:
@@ -180,10 +172,28 @@ class InferenceCore:
                 if self.state is not None:
                     self.state = resize_lt_capacity(self.state, new_lt_cap)
                     self._lt_count = min(self._lt_count, new_lt_cap)
-            # a ring SHRINK can leave the ring full (count == capacity);
-            # consolidate now so the next memorize cannot FIFO-overwrite an
-            # unconsolidated frame (the reference consolidates before any
-            # trim, memory_manager.py:282-296)
+            # on a ring SHRINK, consolidate WITH THE OLD RING INTACT until the
+            # surviving frames fit the new budget — the reference consolidates
+            # before any trim (memory_manager.py:282-296); resizing first would
+            # drop the oldest frames outright instead of absorbing them into LT
+            if self.state is not None and new_ring < self.ring_frames:
+                while (self._work_count > new_ring
+                       and self._work_count > self.min_mem_frames):
+                    prev = self._work_count
+                    self._maybe_consolidate()
+                    if self._work_count >= prev:
+                        break  # consolidation made no progress; bail
+        if new_ring != self.ring_frames:
+            # re-allocate the ring so raised budgets actually take effect
+            # (reference memory grows live, memory_manager.py:59-75; the GUI
+            # work-memory spinboxes funnel here, main_controller.py:532-540)
+            self.ring_frames = new_ring
+            if self.state is not None:
+                self.state = resize_work_ring(self.state, new_ring)
+                self._work_count = min(self._work_count, new_ring)
+        if self.use_long_term:
+            # a shrink-to-exactly-full ring (count == capacity) would make the
+            # next memorize FIFO-overwrite an unconsolidated frame; drain now
             if (self.state is not None
                     and self._work_count >= self.ring_frames
                     and self._work_count > self.min_mem_frames):

@@ -38,7 +38,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from cutie_tpu.ops.memory import get_similarity
+from cutie_tpu.ops.memory import NEG_INF, get_similarity
 
 
 def make_mem_mesh(n_devices: Optional[int] = None, axis: str = "mem") -> Mesh:
@@ -116,8 +116,13 @@ def sharded_topk_readout(mem_key: jnp.ndarray,
         # cancels in the ratio, so results are unchanged where the raw
         # form was finite.
         m = glob_vals[..., :1]
+        # all-tokens-invalid corner: every sim == NEG_INF makes m == thresh
+        # == NEG_INF, so exp(sim - m) == 1 would average invalid values into
+        # the readout. The dense/radix backends return exp(NEG_INF) == 0
+        # there; mask masked tokens explicitly so the paths agree.
+        live = sim > (NEG_INF / 2)
         z = jnp.sum(jnp.exp(glob_vals - m), axis=-1, keepdims=True)
-        aff = jnp.where(sim >= thresh, jnp.exp(sim - m), 0.0)
+        aff = jnp.where(live & (sim >= thresh), jnp.exp(sim - m), 0.0)
         aff = aff / jnp.maximum(z, 1e-30)                   # [B, P, N/D]
         if compute_dtype is not None:
             # amp: contraction in bf16 like the dense backend's readout

@@ -319,14 +319,17 @@ def main():
 
     cfg = train_config()
     cfg.apply_overrides(sys.argv[1:])
-    if isinstance(cfg.get("model"), str):
-        cfg.model = model_small() if cfg.model == "small" else model_base()
     # data=<preset> group (base / with-mose / mega) overlays the main-training
     # dataset mix + iteration schedule, then explicit CLI overrides re-apply on
     # top so `data.preset=mega main_training.num_iterations=...` still wins
     if cfg.data.preset != "base":
         apply_data_preset(cfg, cfg.data.preset)
         cfg.apply_overrides(sys.argv[1:])
+    # the model=<small|base> group override stores a raw string; convert it only
+    # after ALL override passes, or re-applied overrides would reset cfg.model
+    # back to a string (hydra resolves groups before overrides too)
+    if isinstance(cfg.get("model"), str):
+        cfg.model = model_small() if cfg.model == "small" else model_base()
 
     run_path = path.join("output", cfg.exp_id)
     setup_rank_logging(run_path)

@@ -102,6 +102,25 @@ def test_sharded_read_topk_exceeds_shard():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_sharded_read_all_tokens_invalid_returns_zero():
+    """Every token masked: the dense backend's exp(NEG_INF) == 0 returns a
+    zero readout; the sharded path's global-max subtraction must not turn
+    that into a uniform average over garbage (ADVICE r2 #3)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.RandomState(3)
+    mk, ms, qk, qe, vals, _ = _problem(rng, n=256, p=64)
+    valid = np.zeros(ms.shape, bool)
+
+    mesh = make_mem_mesh(8)
+    rd, usage = sharded_topk_readout(
+        jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(qk), jnp.asarray(qe),
+        jnp.asarray(vals), jnp.asarray(valid), 30, mesh, return_usage=True)
+    assert np.isfinite(np.asarray(rd)).all()
+    np.testing.assert_array_equal(np.asarray(rd), 0.0)
+    np.testing.assert_array_equal(np.asarray(usage), 0.0)
+
+
 def test_sharded_read_rejects_indivisible():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
