@@ -83,7 +83,8 @@ class InferenceCore:
             # +1 slack slot: consolidation runs after the ring holds
             # max_mem_frames frames, so it must never overwrite
             self.ring_frames = self.max_mem_frames + 1
-            self.lt_capacity = self.max_long_tokens + self.num_prototypes
+            self.lt_capacity = self._round_lt_cap(
+                self.max_long_tokens + self.num_prototypes)
         else:
             self.max_mem_frames = cfg.max_mem_frames - 1
             self.ring_frames = max(self.max_mem_frames, 1)
@@ -162,7 +163,8 @@ class InferenceCore:
             self.max_mem_frames = cfg["max_mem_frames"] - 1
             new_ring = max(self.max_mem_frames, 1)
         if self.use_long_term:
-            new_lt_cap = self.max_long_tokens + self.num_prototypes
+            new_lt_cap = self._round_lt_cap(
+                self.max_long_tokens + self.num_prototypes)
             if new_lt_cap != self.lt_capacity:
                 # the LT buffers are fixed-capacity too — a raised
                 # max_num_tokens must reallocate them just like the ring,
@@ -170,7 +172,8 @@ class InferenceCore:
                 # newest prototypes (and eviction's top_k would trace-error)
                 self.lt_capacity = new_lt_cap
                 if self.state is not None:
-                    self.state = resize_lt_capacity(self.state, new_lt_cap)
+                    self.state = self.steps.place_state(
+                        resize_lt_capacity(self.state, new_lt_cap))
                     self._lt_count = min(self._lt_count, new_lt_cap)
             # on a ring SHRINK, consolidate WITH THE OLD RING INTACT until the
             # surviving frames fit the new budget — the reference consolidates
@@ -189,7 +192,8 @@ class InferenceCore:
             # work-memory spinboxes funnel here, main_controller.py:532-540)
             self.ring_frames = new_ring
             if self.state is not None:
-                self.state = resize_work_ring(self.state, new_ring)
+                self.state = self.steps.place_state(
+                    resize_work_ring(self.state, new_ring))
                 self._work_count = min(self._work_count, new_ring)
         if self.use_long_term:
             # a shrink-to-exactly-full ring (count == capacity) would make the
@@ -200,6 +204,15 @@ class InferenceCore:
                 self._maybe_consolidate()
 
     # -------------------------------------------------------------- internals
+
+    def _round_lt_cap(self, cap: int) -> int:
+        """Round the LT allocation up to a mesh multiple so the token axis
+        shards evenly (capacity only — max_num_tokens still governs when
+        eviction fires; extra slots just sit invalid)."""
+        if self.steps.mem_mesh is None:
+            return cap
+        d = self.steps.mem_mesh.shape["mem"]
+        return -(-cap // d) * d
 
     def _selector(self) -> np.ndarray:
         o = self.state.sensory.shape[1]
@@ -259,8 +272,12 @@ class InferenceCore:
                 work_frames=self.ring_frames,
                 lt_capacity=self.lt_capacity,
             )
+            # multi-chip: long-term buffers live token-sharded on the mem
+            # mesh; every jitted step pins the same sharding on its outputs
+            # (steps.constrain_state), so donated buffers never reshard
+            self.state = self.steps.place_state(self.state)
         elif self.state.sensory.shape[1] < cap:
-            self.state = pad_objects(self.state, cap)
+            self.state = self.steps.place_state(pad_objects(self.state, cap))
 
     def _merge_input_mask(self, mask, objects, idx_mask: bool,
                           pred_prob_with_bg: Optional[np.ndarray],

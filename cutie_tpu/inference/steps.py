@@ -175,6 +175,7 @@ class StepFunctions:
                                   mode="no")
 
         state = jax.lax.cond(do_memorize, mem, lambda s: s, state)
+        state = self.constrain_state(state)
         if n_out:
             lw, uw, lh, uh = pad
             hp, wp = prob.shape[-2:]
@@ -217,14 +218,16 @@ class StepFunctions:
         lt_valid = jnp.arange(lcap) < state.lt_count                    # [L]
         global_valid = jnp.concatenate([perm_valid, lt_valid, work_tok_valid])
 
-        mem_key = jnp.concatenate(
-            [state.perm_key, state.lt_key, state.work_key.reshape(b, f * hw, ck)], axis=1)
-        mem_shrink = jnp.concatenate(
-            [state.perm_shrink, state.lt_shrink, state.work_shrink.reshape(b, f * hw)],
-            axis=1)
-        mem_value = jnp.concatenate(
-            [state.perm_value, state.lt_value,
-             state.work_value.reshape(b, o, f * hw, cv)], axis=2)  # [B,O,N,Cv]
+        if self.mem_mesh is None:
+            mem_key = jnp.concatenate(
+                [state.perm_key, state.lt_key,
+                 state.work_key.reshape(b, f * hw, ck)], axis=1)
+            mem_shrink = jnp.concatenate(
+                [state.perm_shrink, state.lt_shrink,
+                 state.work_shrink.reshape(b, f * hw)], axis=1)
+            mem_value = jnp.concatenate(
+                [state.perm_value, state.lt_value,
+                 state.work_value.reshape(b, o, f * hw, cv)], axis=2)
 
         backend = self._pick_read_backend(pcap + lcap + f * hw)
         if self.mem_mesh is None and backend != "pallas":
@@ -232,20 +235,32 @@ class StepFunctions:
 
         pixel_readout = jnp.zeros((b, o, hw, cv), jnp.float32)
         for bi, rep in enumerate(bucket_rep):
-            obj_tok_valid = jnp.concatenate([
-                state.perm_obj_valid[rep],
-                state.lt_obj_valid[rep],
-                jnp.repeat(state.work_obj_valid[rep], hw),
-            ])
             if self.mem_mesh is not None:
-                r, usage = self._sharded_bucket_read(
-                    mem_key, mem_shrink, qk, qe, mem_value,
-                    global_valid & obj_tok_valid)
+                # composite distributed read: NO global [perm|lt|work] concat
+                # (concatenating differently-sharded stores forced SPMD full
+                # rematerializations every step — MULTICHIP_r02.json tail)
+                r, lt_usage, work_usage = self._composite_bucket_read(
+                    state, qk, qe,
+                    (perm_valid & state.perm_obj_valid[rep])[None],
+                    (lt_valid & state.lt_obj_valid[rep])[None],
+                    (work_tok_valid
+                     & jnp.repeat(state.work_obj_valid[rep], hw))[None],
+                    b=b, f=f, hw=hw, o=o, ck=ck, cv=cv)
             elif backend == "pallas":
+                obj_tok_valid = jnp.concatenate([
+                    state.perm_obj_valid[rep],
+                    state.lt_obj_valid[rep],
+                    jnp.repeat(state.work_obj_valid[rep], hw),
+                ])
                 r, usage = self._pallas_bucket_read(
                     mem_key, mem_shrink, qk, qe, mem_value,
                     global_valid & obj_tok_valid)
             else:
+                obj_tok_valid = jnp.concatenate([
+                    state.perm_obj_valid[rep],
+                    state.lt_obj_valid[rep],
+                    jnp.repeat(state.work_obj_valid[rep], hw),
+                ])
                 valid_b = (global_valid & obj_tok_valid)[None]  # [1, N]
                 sim_b = jnp.where(valid_b[:, None, :], sim, -1e30)
                 sm = topk_softmax_radix if backend == "radix" else topk_softmax
@@ -259,8 +274,10 @@ class StepFunctions:
                 r = readout(affinity, mem_value, compute_dtype=rd_dtype)
             if self.use_long_term:
                 # usage bookkeeping (kv_memory_store.py:151-162)
-                lt_usage = usage[:, pcap:pcap + lcap]
-                work_usage = usage[:, pcap + lcap:].reshape(b, f, hw)
+                if self.mem_mesh is None:
+                    lt_usage = usage[:, pcap:pcap + lcap]
+                    work_usage = usage[:, pcap + lcap:]
+                work_usage = work_usage.reshape(b, f, hw)
                 life_w = (ring_valid[None, :, None]
                           & state.work_obj_valid[rep][None, :, None])
                 life_l = (lt_valid & state.lt_obj_valid[rep])[None]
@@ -326,35 +343,71 @@ class StepFunctions:
             us.append(u[:n])
         return jnp.stack(rs), jnp.stack(us)
 
-    def _sharded_bucket_read(self, mem_key, mem_shrink, qk, qe, mem_value,
-                             valid):
-        """Distributed exact top-k read for one bucket: token axis padded to
-        the mesh size and sharded over ICI (parallel/sharded_memory.py). The
-        readout comes back replicated; usage is sliced back to [B, N]."""
-        from cutie_tpu.parallel import sharded_topk_readout
+    def _composite_bucket_read(self, state, qk, qe, perm_valid, lt_valid,
+                               work_valid, *, b, f, hw, o, ck, cv):
+        """Distributed exact top-k read for one bucket over the composite
+        [perm | lt | work] memory (parallel/sharded_memory.py). perm/work are
+        replicated and shard-sliced locally; the long-term buffers stay
+        sharded on the token axis across donated steps when `lt_sharded()`
+        (HBM for the unbounded store scales with the mesh; ICI per step is
+        k*D scalars + one readout psum, independent of memory size)."""
+        from cutie_tpu.parallel import sharded_composite_readout
 
-        d = self.mem_mesh.shape["mem"]
-        b = mem_key.shape[0]
-        n = mem_key.shape[1]
-        n_pad = -(-n // d) * d
-
-        def padn(x, axis):
-            if n_pad == n:
-                return x
-            pads = [(0, 0)] * x.ndim
-            pads[axis] = (0, n_pad - n)
-            return jnp.pad(x, pads)
-
-        valid_p = jnp.broadcast_to(padn(valid[None], 1), (b, n_pad))
-        rd, usage = sharded_topk_readout(
-            padn(mem_key, 1), padn(mem_shrink, 1), qk, qe,
-            padn(mem_value, 2), valid_p, self.top_k, self.mem_mesh,
+        rd, lt_usage, work_usage = sharded_composite_readout(
+            (state.perm_key, state.perm_shrink, state.perm_value, perm_valid),
+            (state.lt_key, state.lt_shrink, state.lt_value, lt_valid),
+            (state.work_key.reshape(b, f * hw, ck),
+             state.work_shrink.reshape(b, f * hw),
+             state.work_value.reshape(b, o, f * hw, cv), work_valid),
+            qk, qe, self.top_k, self.mem_mesh,
+            lt_sharded=self.lt_sharded(state),
             return_usage=self.use_long_term,
             compute_dtype=(jnp.bfloat16
                            if self.model.dtype == jnp.bfloat16 else None))
-        if self.use_long_term:
-            usage = usage[:, :n]
-        return rd, usage
+        return rd, lt_usage, work_usage
+
+    def lt_sharded(self, state) -> bool:
+        """True when the long-term buffers live sharded on the token axis
+        (requires LT mode and a mesh-divisible capacity — InferenceCore
+        rounds the allocation up to guarantee it)."""
+        return (self.mem_mesh is not None and self.use_long_term
+                and state.lt_key.shape[1] % self.mem_mesh.shape["mem"] == 0)
+
+    def state_shardings(self, state):
+        """Canonical NamedSharding pytree for MemoryState on the mem mesh:
+        everything replicated except the long-term buffers, which stay
+        token-sharded when `lt_sharded` (HBM scale-out for the unbounded
+        store). Pinning BOTH the initial device_put and every jitted output
+        to this keeps donated buffers sharding-stable across steps — no
+        SPMD resharding ping-pong (VERDICT r2 weak #4)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mem_mesh
+        rep = NamedSharding(mesh, P())
+        out = jax.tree.map(lambda _: rep, state)
+        if self.lt_sharded(state):
+            out = out.replace(
+                lt_key=NamedSharding(mesh, P(None, "mem", None)),
+                lt_shrink=NamedSharding(mesh, P(None, "mem")),
+                lt_value=NamedSharding(mesh, P(None, None, "mem", None)),
+                lt_obj_valid=NamedSharding(mesh, P(None, "mem")),
+                lt_use=NamedSharding(mesh, P(None, "mem")),
+                lt_life=NamedSharding(mesh, P(None, "mem")),
+            )
+        return out
+
+    def constrain_state(self, state):
+        """Inside-jit sharding pin for a returned MemoryState (no-op off-mesh)."""
+        if self.mem_mesh is None:
+            return state
+        return jax.tree.map(jax.lax.with_sharding_constraint, state,
+                            self.state_shardings(state))
+
+    def place_state(self, state):
+        """Host-side placement of a (new/resized) state onto the mem mesh."""
+        if self.mem_mesh is None:
+            return state
+        return jax.device_put(state, self.state_shardings(state))
 
     def _segment(self, variables, state: MemoryState, feats: FrameFeatures,
                  selector: jnp.ndarray, update_sensory: jnp.ndarray,
@@ -419,6 +472,7 @@ class StepFunctions:
         else:
             last_mask = prob[:, 1:].astype(jnp.float32)
         state = state.replace(sensory=new_sensory, last_mask=last_mask)
+        state = self.constrain_state(state)
         if self.save_aux:
             if aux is not None:
                 aux["sensory"] = state.sensory
@@ -489,7 +543,7 @@ class StepFunctions:
                 perm_n=state.perm_n + hw,
             )
             if mode == "all":
-                return state
+                return self.constrain_state(state)
 
         # ring insert; overwrites the oldest slot when full (non-LT FIFO,
         # memory_manager.py:296). In LT mode the host consolidates before the
@@ -520,14 +574,14 @@ class StepFunctions:
             work_start=new_start,
             work_count=new_count,
         )
-        return state
+        return self.constrain_state(state)
 
     def _set_last_mask(self, state: MemoryState, prob_no_bg: jnp.ndarray) -> MemoryState:
         """Overwrite last_mask (used after user-provided masks merge)."""
         last = prob_no_bg.astype(jnp.float32)
         if self.flip_aug:
             last = jnp.concatenate([last, last[:, :, :, ::-1]], axis=0)
-        return state.replace(last_mask=last)
+        return self.constrain_state(state.replace(last_mask=last))
 
     # ------------------------------------------------------------ consolidation
 
@@ -641,4 +695,4 @@ class StepFunctions:
             work_start=jnp.mod(state.work_start + n_candidate_frames, f),
             work_count=state.work_count - n_candidate_frames,
         )
-        return state
+        return self.constrain_state(state)

