@@ -329,3 +329,47 @@ def test_brs_mode_variants(brs_mode):
     assert pred.opt_data is not None
     # negative click location should not be confidently foreground
     assert p2[0, 0, 10, 20] < 0.9
+
+
+def test_device_brs_matches_host_endpoint():
+    """The fused on-device L-BFGS (brs.device_lbfgs_drive, default) must reach
+    the same optimization endpoint as the reference-trajectory scipy host loop
+    (host_lbfgs=True): near-identical final masks on trained weights, with a
+    click placed where the model is confidently wrong so the optimizer MUST
+    engage (a vacuous clicks-already-satisfied exit would pass trivially)."""
+    from cutie_tpu.ritm.inference import InteractiveController
+
+    model, variables = _brs_model_and_vars()
+    rng = np.random.default_rng(7)
+    image = rng.uniform(0.2, 0.8, size=(3, 64, 96)).astype(np.float32)
+
+    def run(host_lbfgs):
+        ctl = InteractiveController(model, variables, {
+            "brs_mode": "f-BRS-B", "net_clicks_limit": 8, "with_flip": True,
+            "predictor_params": {"host_lbfgs": host_lbfgs},
+            "brs_opt_func_params": {"min_iou_diff": 1e-3},
+            "lbfgs_params": {"maxfun": 8},
+        })
+        ctl.set_image(image)
+        p1 = ctl.add_click(30, 20, True)
+        # force engagement: positive click at the least-foreground pixel
+        # (prob < prob_thresh there -> the clicks-satisfied early exit is off)
+        yy, xx = np.unravel_index(np.argmin(p1[0, 0]), p1[0, 0].shape)
+        assert p1[0, 0, yy, xx] < 0.49
+        p2 = ctl.add_click(int(xx), int(yy), True)
+        # the optimizer actually moved the scale/bias vector
+        assert np.linalg.norm(ctl.predictor.opt_data) > 0
+        return p1, p2, (yy, xx)
+
+    p1_h, p_host, (yy, xx) = run(True)
+    p1_d, p_dev, _ = run(False)
+    np.testing.assert_array_equal(p1_h, p1_d)  # click 1: identical, no opt
+    # both paths must improve click consistency at the forced click
+    assert p_host[0, 0, yy, xx] > p1_h[0, 0, yy, xx]
+    assert p_dev[0, 0, yy, xx] > p1_d[0, 0, yy, xx]
+    # endpoint agreement: same objective + same exits, different linesearch
+    mh, md = p_host[0, 0] > 0.5, p_dev[0, 0] > 0.5
+    union = np.logical_or(mh, md).sum()
+    inter = np.logical_and(mh, md).sum()
+    assert union > 0
+    assert inter / union > 0.8, f"mask IoU host-vs-device {inter / union:.3f}"
