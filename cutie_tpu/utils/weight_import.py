@@ -238,3 +238,83 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any
     if strict and (missing or unused):
         raise ValueError(f"strict import failed: missing={missing[:10]} unused={unused[:10]}")
     return new_vars
+
+
+def _export_resolve(mod_path: Tuple[str, ...], tname: str, tset) -> str:
+    key = ".".join(mod_path + (tname,))
+    if (tset is not None and key not in tset and mod_path
+            and mod_path[-1] == "conv"):
+        # our GConv2d wraps the conv in a 'conv' submodule torch doesn't have
+        alt = ".".join(mod_path[:-1] + (tname,))
+        if alt in tset:
+            return alt
+    return key
+
+
+def export_torch_state_dict(variables: Dict[str, Any],
+                            template_keys=None) -> Dict[str, np.ndarray]:
+    """Inverse of convert_torch_state_dict: emit a reference-naming torch
+    state dict (numpy values) from OUR variable pytree — checkpoint interop
+    in the export direction, so models trained here load into the reference
+    implementation (cutie/model/cutie.py load_weights naming).
+
+    template_keys: optional iterable of the target torch state_dict's key
+    names; used to resolve the GConv 'conv' wrapper naming ambiguity and to
+    emit num_batches_tracked zeros. PE inv_freq buffers are NOT emitted
+    (deterministic constants recomputed by both sides) — load with
+    strict=False or allow-list them."""
+    tset = set(template_keys) if template_keys is not None else None
+    out: Dict[str, np.ndarray] = {}
+    qkv: Dict[str, Dict[Tuple[str, str], np.ndarray]] = {}
+
+    for collection in ("params", "batch_stats"):
+        for path, value in _flat_paths(variables.get(collection, {})):
+            value = np.asarray(value, np.float32)
+            mod_path, leaf = _torch_key_candidates(path)
+            if collection == "batch_stats":
+                tname = {"mean": "running_mean", "var": "running_var"}[leaf]
+                out[_export_resolve(mod_path, tname, tset)] = value
+                continue
+            if len(mod_path) >= 2 and mod_path[-1] in ("q", "k", "v"):
+                base = ".".join(mod_path[:-1])
+                qkv.setdefault(base, {})[(mod_path[-1], leaf)] = value
+            elif leaf == "kernel":
+                if value.ndim == 4:  # HWIO -> OIHW
+                    w = np.transpose(value, (3, 2, 0, 1))
+                elif value.ndim == 2:
+                    w = value.T
+                else:
+                    w = value
+                out[_export_resolve(mod_path, "weight", tset)] = w
+            elif leaf == "scale":  # BN/LN weight
+                out[_export_resolve(mod_path, "weight", tset)] = value
+            elif leaf == "bias":
+                out[_export_resolve(mod_path, "bias", tset)] = value
+            elif leaf == "conv" and value.ndim == 3:
+                # ECA conv1d [k,1,1] -> torch [1,1,k]
+                out[".".join(mod_path + ("conv", "weight"))] = np.transpose(
+                    value, (2, 1, 0))
+            elif leaf in ("query_init", "query_emb"):
+                out[".".join(mod_path + (leaf, "weight"))] = value
+            else:
+                raise ValueError(f"unmapped param {collection}/{'/'.join(path)}")
+
+    for base, parts in qkv.items():
+        w = np.concatenate([parts[(x, "kernel")].T for x in ("q", "k", "v")],
+                           axis=0)
+        out[base + ".in_proj_weight"] = w
+        if ("q", "bias") in parts:
+            out[base + ".in_proj_bias"] = np.concatenate(
+                [parts[(x, "bias")] for x in ("q", "k", "v")], axis=0)
+
+    if tset is not None:
+        for k in tset:
+            if k.endswith("num_batches_tracked") and k not in out:
+                out[k] = np.asarray(0, np.int64)
+        extra = [k for k in out if k not in tset]
+        missing = [k for k in tset if k not in out
+                   and not k.endswith("inv_freq")]
+        if extra or missing:
+            raise ValueError(f"export does not match template: "
+                             f"extra={extra[:10]} missing={missing[:10]}")
+    return out

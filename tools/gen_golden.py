@@ -476,10 +476,6 @@ def gen_ritm(out_dir, seed: int = 99):
     print("ritm fixtures written")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def gen_ritm_train_losses(out_dir):
     """Reference RITM training losses/metric on random inputs
     (gui/ritm/model/losses.py, metrics.py)."""
@@ -511,3 +507,151 @@ def gen_ritm_train_losses(out_dir):
     rec["aiou_epoch"] = np.float64(m.get_epoch_value())
     np.savez_compressed(out_dir / "ritm_train_losses.npz", **rec)
     print("ritm train-loss fixture written")
+
+
+# ---------------------------------------------------------------- 480p streams
+
+def synth_frames_480(t: int, h: int = 480, w: int = 854, seed: int = 9):
+    """Deterministic 480p synthetic video with THREE objects — two translating
+    squares plus a dilating/contracting rectangle — on a textured background.
+    Pure numpy (importable without torch), so tests regenerate the frames
+    instead of shipping ~60MB of video in the fixture."""
+    rng = np.random.default_rng(seed)
+    bg = rng.uniform(0.2, 0.5, size=(h, w, 3)).astype(np.float32)
+    frames = []
+    mask0 = np.zeros((h, w), np.int64)
+    sq = h // 5
+    for ti in range(t):
+        f = bg.copy()
+        y1, x1 = h // 8 + ti * 4, w // 10 + ti * 6
+        y2, x2 = h // 2 + ti * 2, 2 * w // 3 - ti * 5
+        g = sq // 2 + ti * 3  # growing rectangle half-size
+        cy, cx = h // 3, w // 2
+        f[y1:y1 + sq, x1:x1 + sq] = [0.9, 0.2, 0.1]
+        f[y2:y2 + sq, x2:x2 + sq] = [0.1, 0.3, 0.9]
+        f[max(cy - g, 0):cy + g, max(cx - g, 0):cx + g] = [0.2, 0.8, 0.2]
+        f = np.round(f * 255.0) / 255.0
+        frames.append(np.transpose(f, (2, 0, 1)).astype(np.float32))
+        if ti == 0:
+            mask0[y1:y1 + sq, x1:x1 + sq] = 1
+            mask0[y2:y2 + sq, x2:x2 + sq] = 2
+            mask0[cy - g:cy + g, cx - g:cx + g] = 3
+    return np.stack(frames), mask0
+
+
+def synth_gt_masks_480(t: int, h: int = 480, w: int = 854):
+    """Ground-truth index masks for every frame of synth_frames_480 (same
+    deterministic geometry and draw order — the growing rectangle paints
+    last, on top). Lets the 480p gate report REAL tracking accuracy next to
+    cross-implementation IoU."""
+    masks = np.zeros((t, h, w), np.uint8)
+    sq = h // 5
+    for ti in range(t):
+        y1, x1 = h // 8 + ti * 4, w // 10 + ti * 6
+        y2, x2 = h // 2 + ti * 2, 2 * w // 3 - ti * 5
+        g = sq // 2 + ti * 3
+        cy, cx = h // 3, w // 2
+        m = masks[ti]
+        m[y1:y1 + sq, x1:x1 + sq] = 1
+        m[y2:y2 + sq, x2:x2 + sq] = 2
+        m[max(cy - g, 0):cy + g, max(cx - g, 0):cx + g] = 3
+    return masks
+
+
+def stream480_cfg(use_long_term: bool):
+    """Full-resolution eval budgets (the reference's eval_config.yaml d17 /
+    lvos settings, LT token counts scaled to the 26-frame clip)."""
+    from omegaconf import AttrDict
+
+    return AttrDict({
+        "mem_every": 5, "stagger_updates": 5, "chunk_size": -1,
+        "save_aux": False, "max_internal_size": -1, "flip_aug": False,
+        "use_long_term": use_long_term, "top_k": 30, "max_mem_frames": 5,
+        "long_term": {"count_usage": True, "max_mem_frames": 4,
+                      "min_mem_frames": 2, "num_prototypes": 64,
+                      "max_num_tokens": 4000, "buffer_tokens": 1000},
+        "model": {"sensory_dim": 256},
+    })
+
+
+def gen_stream_480(out_dir, use_long_term: bool, tag: str, t: int,
+                   trained: bool = False):
+    """480p golden stream through the reference InferenceCore. Stores
+    per-frame argmax masks (uint8; per-object IoU is the parity criterion at
+    this resolution) + per-frame-per-object soft prob masses for diagnostics.
+
+    Weights: trained=False -> the committed conditioned-random base state
+    dict (trained-like similarity statistics); trained=True -> the
+    synthetically TRAINED base weights (tools/train_synthetic.py, exported
+    through utils/weight_import.export_torch_state_dict) whose stable crisp
+    masks make cross-implementation IoU meaningful (random-statistics masks
+    are chaotic: fp noise feeds back through memory and destroys IoU even
+    between bit-similar implementations).
+
+    VERDICT r2 #1 fallback: the released cutie-base-mega.pth is unreachable
+    (zero-egress environment, DNS resolution fails), so full-resolution
+    parity is pinned against the reference implementation itself under
+    realistic similarity ranges instead."""
+    import torch
+
+    model, _ = build_reference_model("base")  # installs sys.path + cfg stub
+    from cutie.inference.inference_core import InferenceCore as RefCore
+
+    name = ("state_dict_base_trained.npz" if trained
+            else "state_dict_base.npz")
+    sd_npz = np.load(REPO / "tests" / "golden" / name)
+    sd = {k: torch.tensor(np.asarray(v, np.float32)) for k, v in sd_npz.items()}
+    if trained:
+        # the exported dict omits num_batches_tracked counters and the PE
+        # inv_freq buffers (deterministic constants both sides recompute)
+        res = model.load_state_dict(sd, strict=False)
+        assert not res.unexpected_keys, res.unexpected_keys
+        assert all("inv_freq" in k or "num_batches_tracked" in k
+                   for k in res.missing_keys), res.missing_keys
+        tag = f"{tag}_trained"
+    else:
+        model.load_state_dict(sd, strict=True)
+    model.eval()
+
+    h, w = 480, 854
+    cfg = stream480_cfg(use_long_term)
+    frames, mask0 = synth_frames_480(t, h, w)
+    gt = synth_gt_masks_480(t, h, w)
+    core = RefCore(model, cfg)
+    masks, prob_mass = [], []
+    with torch.no_grad():
+        for ti in range(t):
+            img = torch.tensor(frames[ti])
+            if ti == 0:
+                prob = core.step(img, torch.tensor(mask0), objects=[1, 2, 3])
+            else:
+                prob = core.step(img)
+            p = prob.numpy()  # [1+N, H, W] incl. background channel
+            masks.append(np.argmax(p, axis=0).astype(np.uint8))
+            prob_mass.append(p.sum(axis=(1, 2)))
+            ious = []
+            for o in (1, 2, 3):
+                a, b = masks[-1] == o, gt[ti] == o
+                u = np.logical_or(a, b).sum()
+                ious.append(np.logical_and(a, b).sum() / u if u else 1.0)
+            print(f"  ref frame {ti}: fg px "
+                  f"{[int((masks[-1] == o).sum()) for o in (1, 2, 3)]}"
+                  f"  gt IoU {' '.join(f'{v:.3f}' for v in ious)}")
+    np.savez_compressed(
+        out_dir / f"stream480_{tag}.npz",
+        mask0=mask0, masks=np.stack(masks),
+        prob_mass=np.stack(prob_mass).astype(np.float32),
+        t=np.int64(t), use_long_term=np.bool_(use_long_term))
+    print(f"stream fixture: stream480_{tag}.npz")
+
+
+if __name__ == "__main__":
+    if "--stream480" in sys.argv:
+        out = REPO / "tests" / "golden"
+        trained = "--trained" in sys.argv
+        gen_stream_480(out, use_long_term=False, tag="work", t=12,
+                       trained=trained)
+        gen_stream_480(out, use_long_term=True, tag="lt", t=26,
+                       trained=trained)
+    else:
+        main()

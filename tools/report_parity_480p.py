@@ -1,0 +1,167 @@
+"""Full-resolution (480x854) mask-parity report: cutie_tpu vs the reference
+torch implementation, cutie-base architecture.
+
+VERDICT r2 #1 fallback. The released cutie-base-mega.pth is unreachable from
+this environment (zero egress: `urllib.request.urlopen` fails DNS for
+github.com — attempted 2026-08-17), so the full-resolution gate is pinned
+against the reference *implementation* (tools/gen_golden.py --stream480
+--trained runs /root/reference's InferenceCore) with synthetically TRAINED
+base weights (tools/train_synthetic.py — ~1000 TPU steps on a moving-shapes
+VOS task, exported to torch naming via
+utils/weight_import.export_torch_state_dict). Trained weights matter:
+random-statistics weights produce chaotic masks whose memory feedback
+amplifies fp noise, so per-object IoU between implementations is
+meaningless (measured: median IoU 0.04 despite >0.97 small-res argmax
+agreement); with trained weights both implementations track crisply and
+implementation divergence is visible as IoU loss.
+
+Criterion: per-object per-frame IoU — not argmax agreement — at the
+BASELINE eval resolution, plus ground-truth IoU for BOTH sides (real
+tracking accuracy from synth_gt_masks_480).
+
+Usage:
+    python tools/report_parity_480p.py [--weights trained|conditioned]
+        # real TPU (forces fp32 MXU)
+    PYTHONPATH= JAX_PLATFORMS=cpu python tools/report_parity_480p.py ...
+
+Writes docs/PARITY_480P.md.
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_core(use_long_term: bool, weights: str):
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.config import eval_config
+    from cutie_tpu.inference import InferenceCore
+    from cutie_tpu.models import CUTIE
+    from cutie_tpu.utils.get_default_model import ModelBundle
+    from cutie_tpu.utils.weight_import import convert_torch_state_dict
+
+    name = ("state_dict_base_trained.npz" if weights == "trained"
+            else "state_dict_base.npz")
+    sd = {k: v.astype(np.float32)
+          for k, v in np.load(REPO / "tests/golden" / name).items()}
+    cfg = eval_config("base")
+    # mirror tools/gen_golden.py:stream480_cfg exactly
+    cfg.merge({
+        "mem_every": 5, "top_k": 30, "stagger_updates": 5, "flip_aug": False,
+        "use_long_term": use_long_term, "max_mem_frames": 5,
+        "max_internal_size": -1,
+        "long_term": {"count_usage": True, "max_mem_frames": 4,
+                      "min_mem_frames": 2, "num_prototypes": 64,
+                      "max_num_tokens": 4000, "buffer_tokens": 1000},
+    })
+    model = CUTIE(cfg, dtype=jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2, 64, 64)))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
+    variables = convert_torch_state_dict(sd, zeros,
+                                         strict=(weights != "trained"))
+    return InferenceCore(ModelBundle(model=model, variables=variables, cfg=cfg), cfg)
+
+
+def _obj_ious(ours, theirs):
+    out = []
+    for o in (1, 2, 3):
+        a, b = ours == o, theirs == o
+        union = np.logical_or(a, b).sum()
+        out.append(np.logical_and(a, b).sum() / union if union else 1.0)
+    return out
+
+
+def run_stream(tag: str, use_long_term: bool, weights: str):
+    from tools.gen_golden import synth_frames_480, synth_gt_masks_480
+
+    suffix = "_trained" if weights == "trained" else ""
+    rec = dict(np.load(REPO / f"tests/golden/stream480_{tag}{suffix}.npz"))
+    t = int(rec["t"])
+    frames, mask0 = synth_frames_480(t)
+    gt = synth_gt_masks_480(t)
+    assert (mask0 == rec["mask0"]).all(), "synthetic video drifted from fixture"
+
+    core = build_core(use_long_term, weights)
+    rows, gt_ours, gt_ref = [], [], []
+    t0 = time.perf_counter()
+    for ti in range(t):
+        if ti == 0:
+            prob = core.step(frames[ti], mask0, objects=[1, 2, 3])
+        else:
+            prob = core.step(frames[ti])
+        ours = np.asarray(prob).argmax(0)
+        rows.append(_obj_ious(ours, rec["masks"][ti]))
+        gt_ours.append(_obj_ious(ours, gt[ti]))
+        gt_ref.append(_obj_ious(rec["masks"][ti], gt[ti]))
+        print(f"{tag} frame {ti:2d}: xIoU "
+              + " ".join(f"{v:.4f}" for v in rows[-1])
+              + "  gt(ours) " + " ".join(f"{v:.3f}" for v in gt_ours[-1]),
+              flush=True)
+    dt = time.perf_counter() - t0
+    return np.asarray(rows), np.asarray(gt_ours), np.asarray(gt_ref), dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default="trained",
+                    choices=["trained", "conditioned"])
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    platform = jax.devices()[0].platform
+
+    wdesc = ("synthetically TRAINED base weights "
+             "(tools/train_synthetic.py; tests/golden/"
+             "state_dict_base_trained.npz)" if args.weights == "trained" else
+             "conditioned-random base weights (trained-like similarity "
+             "statistics; tests/golden/state_dict_base.npz)")
+    out = ["# 480p mask parity: cutie_tpu vs reference",
+           "",
+           "Generated by tools/report_parity_480p.py; reference side by",
+           "tools/gen_golden.py --stream480 (torch CPU, /root/reference).",
+           "",
+           f"- **Weights**: {wdesc}. The released cutie-base-mega.pth is "
+           "unreachable (zero-egress: DNS failure for github.com, attempted "
+           "2026-08-17); this pins implementation parity at full resolution "
+           "in its place.",
+           "- **Setting**: 480x854, 3 objects, d17 budgets (work) and "
+           "lvos-style long-term budgets (lt, consolidation exercised).",
+           f"- **Backend**: {platform}, matmul_precision=highest.",
+           "- **Criterion**: per-object per-frame cross-implementation mask "
+           "IoU (xIoU; VERDICT r2: IoU, not argmax agreement), plus "
+           "ground-truth IoU for both sides (tracking accuracy).",
+           ""]
+    summary = {}
+    for tag, lt in (("work", False), ("lt", True)):
+        ious, gt_ours, gt_ref, dt = run_stream(tag, lt, args.weights)
+        summary[tag] = ious
+        out.append(f"## {tag} stream ({ious.shape[0]} frames, {dt:.0f}s)")
+        out.append("")
+        out.append("| frame | xIoU o1 | xIoU o2 | xIoU o3 | gt(ours) mean | gt(ref) mean |")
+        out.append("|---|---|---|---|---|---|")
+        for ti, r in enumerate(ious):
+            out.append(f"| {ti} | {r[0]:.4f} | {r[1]:.4f} | {r[2]:.4f} "
+                       f"| {gt_ours[ti].mean():.4f} | {gt_ref[ti].mean():.4f} |")
+        out.append("")
+        out.append(f"cross-impl IoU: min {ious.min():.4f}, "
+                   f"median {np.median(ious):.4f}, mean {ious.mean():.4f}; "
+                   f"tracking gt-IoU mean ours {gt_ours.mean():.4f} "
+                   f"vs reference {gt_ref.mean():.4f}")
+        out.append("")
+    (REPO / "docs" / "PARITY_480P.md").write_text("\n".join(out))
+    print("wrote docs/PARITY_480P.md")
+    for tag, ious in summary.items():
+        print(f"{tag}: min {ious.min():.4f} median {np.median(ious):.4f}")
+
+
+if __name__ == "__main__":
+    main()
