@@ -13,7 +13,6 @@ cached backbone features; scipy L-BFGS runs on host.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -103,10 +102,15 @@ def device_lbfgs_drive(objective, x0, *, maxfun, thresh, min_iou_diff):
     linesearch, memory 20 like the reference's scipy m=20) under a
     lax.while_loop carrying the reference driver's early exits — clicks
     satisfied (brs_functors.py zero-grad stop), IoU-converged (min_iou_diff),
-    maxfun budget — and best-loss logits tracking.
+    maxfun budget — and best-loss tracking.
 
-    objective(x) -> (loss_plus_reg, (logits, f_max_pos, f_max_neg)).
-    Returns (x_final, best_logits, n_iterations).
+    objective(x) -> (loss_plus_reg, (track, mask, f_max_pos, f_max_neg)):
+    `track` is the tensor returned for the best-loss iterate (the predictors
+    pass the LOW-RES head logits — the host upsamples them bit-identically,
+    cutting the per-click D2H fetch ~16x vs full-resolution logits); `mask`
+    is the full-res boolean prediction driving the IoU exit (reference
+    brs_functors.py:46-66 computes IoU on the full-res thresholded mask).
+    Returns (x_final, best_track, n_iterations).
 
     The scipy host loop this replaces costs one tunnel round-trip PLUS a
     multi-MB logits fetch per function evaluation (<=maxfun per click): the
@@ -122,38 +126,72 @@ def device_lbfgs_drive(objective, x0, *, maxfun, thresh, min_iou_diff):
     opt = optax.lbfgs(memory_size=20)
     value_and_grad = optax.value_and_grad_from_state(loss_only)
 
-    loss0, (logits0, fmp0, fmn0) = objective(x0)
+    loss0, (track0, mask0, fmp0, fmn0) = objective(x0)
     clicks_ok0 = (fmp0 < (1 - thresh)) & (fmn0 < thresh)
 
     def cond(c):
-        x, st, best_loss, best_logits, last_logits, it, done = c
+        x, st, best_loss, best_track, last_mask, it, done = c
         return (~done) & (it < maxfun)
 
     def body(c):
-        x, st, best_loss, best_logits, last_logits, it, _ = c
+        x, st, best_loss, best_track, last_mask, it, _ = c
         value, grad = value_and_grad(x, state=st)
         updates, st = opt.update(grad, st, x, value=value, grad=grad,
                                  value_fn=loss_only)
         x = optax.apply_updates(x, updates)
-        loss, (logits, fmp, fmn) = objective(x)
+        loss, (track, mask, fmp, fmn) = objective(x)
         better = loss < best_loss
         best_loss = jnp.where(better, loss, best_loss)
-        best_logits = jnp.where(better, logits, best_logits)
+        best_track = jnp.where(better, track, best_track)
         # reference exits (brs_functors.py:46-66): satisfied clicks, or
         # prediction mask converged within min_iou_diff
         clicks_ok = (fmp < (1 - thresh)) & (fmn < thresh)
-        cur, last = logits > 0, last_logits > 0
-        inter = jnp.sum(cur & last)
-        union = jnp.sum(cur | last)
+        inter = jnp.sum(mask & last_mask)
+        union = jnp.sum(mask | last_mask)
         iou_ok = (union > 0) & (inter / jnp.maximum(union, 1)
                                 > 1 - min_iou_diff)
         done = clicks_ok | (iou_ok if min_iou_diff > 0 else False)
-        return (x, st, best_loss, best_logits, logits, it + 1, done)
+        return (x, st, best_loss, best_track, mask, it + 1, done)
 
-    init = (x0, opt.init(x0), loss0, logits0, logits0,
+    init = (x0, opt.init(x0), loss0, track0, mask0,
             jnp.asarray(0, jnp.int32), clicks_ok0)
-    x, _, _, best_logits, _, n_it, _ = jax.lax.while_loop(cond, body, init)
-    return x, best_logits, n_it
+    x, _, _, best_track, _, n_it, _ = jax.lax.while_loop(cond, body, init)
+    return x, best_track, n_it
+
+
+def click_maps_from_points(pts, h, w, radius: int = 1):
+    """Build the BRS click-consistency maps ON DEVICE from the (tiny, already
+    uploaded) padded points array instead of uploading two full-resolution
+    masks per click (~4 MB H2D at 480p over the TPU tunnel).
+
+    pts: [b, 2k, 3] — positive block then negative block, -1-padded (the
+    predictor's _pad_points layout). Exact match to the host _clicks_maps:
+    a pixel is set iff |row - round(y)| <= radius and |col - round(x)| <=
+    radius (host's clamped y1:y+radius+1 slice is the same intersection
+    with the image bounds)."""
+    k = pts.shape[1] // 2
+    rows = jnp.arange(h, dtype=jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+
+    def block(p):  # [b, k, 3] -> [b, h, w]
+        y = jnp.round(p[..., 0])[:, :, None]
+        x = jnp.round(p[..., 1])[:, :, None]
+        valid = (p[..., 0] >= 0)[:, :, None]
+        ry = ((jnp.abs(rows[None, None, :] - y) <= radius) & valid)
+        rx = (jnp.abs(cols[None, None, :] - x) <= radius)
+        m = jnp.einsum("bkh,bkw->bhw", ry.astype(jnp.float32),
+                       rx.astype(jnp.float32))
+        return jnp.minimum(m, 1.0)
+
+    return block(pts[:, :k]), block(pts[:, k:])
+
+
+def _functor_statics(f: "ScaleBiasOptimizer"):
+    """The functor fields that change compiled behavior — part of the jit
+    cache key so a predictor rebuilt with different BRS params can't reuse a
+    stale graph."""
+    return (type(f).__name__, f.prob_thresh, f.reg_weight, f.reg_bias_weight,
+            f.min_iou_diff, f.with_flip, f.flip_average, f.scale_act)
 
 
 class HRNetFeatureBRSPredictor(Predictor):
@@ -181,27 +219,111 @@ class HRNetFeatureBRSPredictor(Predictor):
             raise NotImplementedError(insertion_mode)
         self.opt_data = None
         self.input_data = None
-        self._head_input = jax.jit(functools.partial(
-            model.apply, method="get_head_input",
-            insertion_mode=insertion_mode))
 
-        def _head_input_flip(variables, img1, pts, w):
-            # reconstruct the horizontally-flipped batch member ON DEVICE
-            # (same exactness argument as Predictor._fwd_flip: content
-            # occupies cols [0, w) of the zero-padded canvas; reverse+roll
-            # realigns it) — halves the dominant per-click H2D upload
-            rev = img1[:, :, ::-1, :]
-            img2 = jnp.roll(rev, w - img1.shape[2], axis=2)
-            img = jnp.concatenate([img1, img2], axis=0)
-            return model.apply(variables, img, pts, method="get_head_input",
-                               insertion_mode=insertion_mode)
+        from cutie_tpu.ritm.inference import cached_jit
+        functor = opt_functor
+        with_flip = self.with_flip
+        fkey = _functor_statics(functor)
 
-        self._head_input_flip = jax.jit(_head_input_flip)
-        self._loss_grad = jax.jit(self._loss_grad_fn,
-                                  static_argnames=("out_h", "out_w", "bs"))
-        self._device_brs = jax.jit(
-            self._device_brs_fn,
-            static_argnames=("out_h", "out_w", "bs", "maxfun"))
+        def build_head_input():
+            return jax.jit(functools.partial(
+                model.apply, method="get_head_input",
+                insertion_mode=insertion_mode))
+
+        def build_head_input_flip():
+            def _head_input_flip(variables, rgb, mask, pts, w):
+                # reconstruct the horizontally-flipped batch member ON DEVICE
+                # (same exactness argument as Predictor._fwd_flip: content
+                # occupies cols [0, w) of the zero-padded canvas; reverse+
+                # roll realigns it) — with the predictor's RGB device cache,
+                # per-click H2D is just the prev-mask channel + points
+                img1 = rgb if mask is None else jnp.concatenate([rgb, mask], -1)
+                rev = img1[:, :, ::-1, :]
+                img2 = jnp.roll(rev, w - img1.shape[2], axis=2)
+                img = jnp.concatenate([img1, img2], axis=0)
+                return model.apply(variables, img, pts,
+                                   method="get_head_input",
+                                   insertion_mode=insertion_mode)
+
+            return jax.jit(_head_input_flip)
+
+        def _objective_from(variables, feats, pos, neg, out_h, out_w, bs):
+            """Shared f-BRS objective (reference brs_functors ScaleBias +
+            BRSMaskLoss over the head rerun): returns loss + aux for
+            device_lbfgs_drive."""
+            from cutie_tpu.ops.resize import bilinear_resize_align_corners
+
+            def objective(x):
+                scale, bias, reg = functor.unpack_scale_bias(x, bs)
+                if with_flip:
+                    scale = jnp.concatenate([scale, scale], axis=0)
+                    bias = jnp.concatenate([bias, bias], axis=0)
+                mod = feats * scale + bias
+                low = model.apply(variables, mod,
+                                  insertion_mode=insertion_mode,
+                                  method="head_from_feats_low")
+                logits = bilinear_resize_align_corners(low, out_h, out_w)[..., 0]
+                result = jax.nn.sigmoid(logits)
+                pm, nm = pos, neg
+                if with_flip and functor.flip_average:
+                    n = result.shape[0] // 2
+                    result = 0.5 * (result[:n] + result[n:, :, ::-1])
+                    pm, nm = pm[:n], nm[:n]
+                loss, fmp, fmn = brs_mask_loss(result, pm, nm)
+                return loss + reg, (low[..., 0], logits > 0, fmp, fmn)
+
+            return objective
+
+        def build_loss_grad():
+            def fn(variables, feats, pos, neg, x, *, out_h, out_w, bs):
+                objective = _objective_from(variables, feats, pos, neg,
+                                            out_h, out_w, bs)
+
+                def total(xf):
+                    loss, (low, _mask, fmp, fmn) = objective(xf)
+                    return loss, (low, fmp, fmn)
+
+                (loss, (low, fmp, fmn)), grad = jax.value_and_grad(
+                    total, has_aux=True)(x)
+                return loss, grad, low, fmp, fmn
+
+            return jax.jit(fn, static_argnames=("out_h", "out_w", "bs"))
+
+        def build_device_brs():
+            def fn(variables, feats, map_pts, x0, *, out_h, out_w, bs, maxfun):
+                pos, neg = click_maps_from_points(map_pts, out_h, out_w)
+                objective = _objective_from(variables, feats, pos, neg,
+                                            out_h, out_w, bs)
+                return device_lbfgs_drive(
+                    objective, x0, maxfun=maxfun, thresh=functor.prob_thresh,
+                    min_iou_diff=functor.min_iou_diff)
+
+            return jax.jit(fn, static_argnames=("out_h", "out_w", "bs",
+                                                "maxfun"))
+
+        def build_head_low():
+            def fn(variables, feats, x, *, bs):
+                scale, bias, _reg = functor.unpack_scale_bias(x, bs)
+                if with_flip:
+                    scale = jnp.concatenate([scale, scale], axis=0)
+                    bias = jnp.concatenate([bias, bias], axis=0)
+                return model.apply(variables, feats * scale + bias,
+                                   insertion_mode=insertion_mode,
+                                   method="head_from_feats_low")
+
+            return jax.jit(fn, static_argnames=("bs",))
+
+        mk = (id(model), insertion_mode)
+        self._head_input = cached_jit(mk + ("head_input",), model,
+                                      build_head_input)
+        self._head_input_flip = cached_jit(mk + ("head_input_flip",), model,
+                                           build_head_input_flip)
+        self._loss_grad = cached_jit(mk + ("brs_loss_grad", with_flip, fkey),
+                                     model, build_loss_grad)
+        self._device_brs = cached_jit(mk + ("device_brs", with_flip, fkey),
+                                      model, build_device_brs)
+        self._head_low = cached_jit(mk + ("brs_head_low", with_flip, fkey),
+                                    model, build_head_low)
 
     def set_input_image(self, image):
         super().set_input_image(image)
@@ -219,59 +341,28 @@ class HRNetFeatureBRSPredictor(Predictor):
 
     # ------------------------------------------------------------- brs core
 
-    def _loss_grad_fn(self, variables, feats, pos_mask, neg_mask, x, *,
-                      out_h, out_w, bs):
-        def total(xf):
-            scale, bias, reg = self.opt_functor.unpack_scale_bias(xf, bs)
-            if self.with_flip:
-                scale = jnp.concatenate([scale, scale], axis=0)
-                bias = jnp.concatenate([bias, bias], axis=0)
-            mod = feats * scale + bias
-            logits = self.model.apply(variables, mod, out_h, out_w,
-                                      insertion_mode=self.insertion_mode,
-                                      method="head_from_feats")[..., 0]
-            result = jax.nn.sigmoid(logits)
-            pm, nm = pos_mask, neg_mask
-            if self.with_flip and self.opt_functor.flip_average:
-                n = result.shape[0] // 2
-                result = 0.5 * (result[:n] + result[n:, :, ::-1])
-                pm, nm = pm[:n], nm[:n]
-            loss, fmp, fmn = brs_mask_loss(result, pm, nm)
-            return loss + reg, (logits, fmp, fmn)
-
-        (loss, (logits, fmp, fmn)), grad = jax.value_and_grad(
-            total, has_aux=True)(x)
-        return loss, grad, logits, fmp, fmn
-
-    # -------------------------------------------- device-resident optimizer
-
-    def _device_brs_fn(self, variables, feats, pos_mask, neg_mask, x0, *,
-                       out_h, out_w, bs, maxfun):
-        """Fused-on-device f-BRS (see device_lbfgs_drive): same objective as
-        _loss_grad_fn, driven entirely on device — one dispatch per click."""
-
-        def objective(x):
-            scale, bias, reg = self.opt_functor.unpack_scale_bias(x, bs)
-            if self.with_flip:
-                scale = jnp.concatenate([scale, scale], axis=0)
-                bias = jnp.concatenate([bias, bias], axis=0)
-            mod = feats * scale + bias
-            logits = self.model.apply(variables, mod, out_h, out_w,
-                                      insertion_mode=self.insertion_mode,
-                                      method="head_from_feats")[..., 0]
-            result = jax.nn.sigmoid(logits)
-            pm, nm = pos_mask, neg_mask
-            if self.with_flip and self.opt_functor.flip_average:
-                n = result.shape[0] // 2
-                result = 0.5 * (result[:n] + result[n:, :, ::-1])
-                pm, nm = pm[:n], nm[:n]
-            loss, fmp, fmn = brs_mask_loss(result, pm, nm)
-            return loss + reg, (logits, fmp, fmn)
-
-        return device_lbfgs_drive(
-            objective, x0, maxfun=maxfun,
-            thresh=self.opt_functor.prob_thresh,
-            min_iou_diff=self.opt_functor.min_iou_diff)
+    @staticmethod
+    def _map_points(clicks_lists):
+        """ALL clicks (no net_clicks_limit) as a [b, 2kp, 3] padded array for
+        the on-device click-map builder — the BRS consistency maps cover every
+        click (reference brs.py:23-43) even when the network input is
+        limited."""
+        b = len(clicks_lists)
+        k = max(1, max(len(cl) for cl in clicks_lists))
+        kp = 1 << (k - 1).bit_length()
+        pts = np.full((b, 2 * kp, 3), -1.0, np.float32)
+        for i, cl in enumerate(clicks_lists):
+            pi = ni = 0
+            for c in cl:
+                if c.is_positive:
+                    pts[i, pi, :2] = c.coords
+                    pts[i, pi, 2] = 0
+                    pi += 1
+                else:
+                    pts[i, kp + ni, :2] = c.coords
+                    pts[i, kp + ni, 2] = 0
+                    ni += 1
+        return pts
 
     def _clicks_maps(self, clicks_lists, h, w, radius=1):
         """(brs.py:23-43)"""
@@ -287,77 +378,83 @@ class HRNetFeatureBRSPredictor(Predictor):
         return pos, neg
 
     def _run_model(self, image_nd, points_nd, clicks_lists=None):
+        from cutie_tpu.ritm.inference import _resize_chw, pad_hw
+
         if clicks_lists is None:
             return super()._run_model(image_nd, points_nd)
         num_clicks = len(clicks_lists[0])
         b, c, h, w = image_nd.shape
         bs = b // 2 if self.with_flip else b
-        # click maps for all rows (flipped rows carry flipped click coords,
-        # brs.py:23-43 over the full clicks_lists)
-        pos_mask, neg_mask = self._clicks_maps(clicks_lists, h, w)
 
         if (self.opt_data is None
                 or self.opt_data.shape[0] != bs * 2 * self.num_channels):
             self.opt_data = np.zeros((bs * 2 * self.num_channels,), np.float32)
 
-        hp = int(math.ceil(h / 32) * 32)
-        wp = int(math.ceil(w / 32) * 32)
-        img = np.zeros((b, hp, wp, c), np.float32)
-        img[:, :h, :w] = np.transpose(image_nd, (0, 2, 3, 1))
-        k = points_nd.shape[1] // 2
-        kp = max(1, 1 << (k - 1).bit_length())
-        pts = np.full((b, 2 * kp, 3), -1.0, np.float32)
-        pts[:, :k] = points_nd[:, :k]
-        pts[:, kp:kp + k] = points_nd[:, k:]
+        hp, wp = pad_hw(h, w)
+        pts = self._pad_points(points_nd)
 
         if (num_clicks <= (self.net_clicks_limit or 1 << 30)
                 or self.input_data is None):
             if b == 2 and self.with_flip:
                 # batch member 1 is the horizontal flip of member 0
                 # (AddHorizontalFlip is the last transform): rebuild it on
-                # device, upload only member 0
+                # device; with the RGB device cache only the prev-mask
+                # channel + points upload per click
+                rgb, mask = self._split_upload(image_nd[:1], hp, wp)
                 self.input_data = self._head_input_flip(
-                    self.variables, img[:1], pts, np.int32(w))
+                    self.variables, rgb, mask, pts, np.int32(w))
             else:
+                img = np.zeros((b, hp, wp, c), np.float32)
+                img[:, :h, :w] = np.transpose(image_nd, (0, 2, 3, 1))
                 self.input_data = self._head_input(self.variables, img, pts)
 
-        pos_p = np.zeros((b, hp, wp), np.float32)
-        neg_p = np.zeros((b, hp, wp), np.float32)
-        pos_p[:, :h, :w] = pos_mask
-        neg_p[:, :h, :w] = neg_mask
-        # upload the click maps ONCE per click — inside eval_fn they would
-        # re-upload on every L-BFGS evaluation (up to maxfun=20 times)
-        pos_j, neg_j = jnp.asarray(pos_p), jnp.asarray(neg_p)
-
-        def eval_fn(x):
-            return self._loss_grad(self.variables, self.input_data,
-                                   pos_j, neg_j,
-                                   jnp.asarray(x, jnp.float32),
-                                   out_h=hp, out_w=wp, bs=bs)
-
-        self.opt_functor.init_click(eval_fn)
         if num_clicks > self.optimize_after_n_clicks and not self.host_lbfgs:
+            # fused path: click maps built on device from coords; best
+            # logits come back LOW-RES and are upsampled on host
             maxfun = int(self.opt_functor.optimizer_params.get("maxfun", 20))
-            x, best_logits, _ = self._device_brs(
-                self.variables, self.input_data, pos_j, neg_j,
+            x, best_low, _ = self._device_brs(
+                self.variables, self.input_data,
+                jnp.asarray(self._map_points(clicks_lists)),
                 jnp.asarray(self.opt_data), out_h=hp, out_w=wp, bs=bs,
                 maxfun=maxfun)
             self.opt_data = np.asarray(x, np.float32)
-            logits = np.asarray(best_logits)
-            return logits[:, None, :h, :w]
+            low = np.asarray(best_low)[:, None]  # [B, 1, Hp/4, Wp/4]
+            return _resize_chw(low, hp, wp)[:, :, :h, :w]
+
         if num_clicks > self.optimize_after_n_clicks:
+            # reference-trajectory scipy loop (host_lbfgs=True parity path):
+            # one device round-trip per L-BFGS evaluation
+            pos_mask, neg_mask = self._clicks_maps(clicks_lists, h, w)
+            pos_p = np.zeros((b, hp, wp), np.float32)
+            neg_p = np.zeros((b, hp, wp), np.float32)
+            pos_p[:, :h, :w] = pos_mask
+            neg_p[:, :h, :w] = neg_mask
+            # upload the click maps ONCE per click — inside eval_fn they
+            # would re-upload on every L-BFGS evaluation (<= maxfun=20 times)
+            pos_j, neg_j = jnp.asarray(pos_p), jnp.asarray(neg_p)
+
+            def eval_fn(xv):
+                loss, grad, low, fmp, fmn = self._loss_grad(
+                    self.variables, self.input_data, pos_j, neg_j,
+                    jnp.asarray(xv, jnp.float32), out_h=hp, out_w=wp, bs=bs)
+                logits = _resize_chw(np.asarray(low)[:, None], hp, wp)[:, 0]
+                return loss, grad, logits, fmp, fmn
+
+            self.opt_functor.init_click(eval_fn)
             opt_result = fmin_l_bfgs_b(func=self.opt_functor, x0=self.opt_data,
                                        **self.opt_functor.optimizer_params)
             self.opt_data = opt_result[0].astype(np.float32)
+            if self.opt_functor.best_prediction is not None:
+                # [B, Hp, Wp] -> [B, 1, H, W] (flip inverse happens in the
+                # transform cascade like the reference)
+                return self.opt_functor.best_prediction[:, None, :h, :w]
 
-        if self.opt_functor.best_prediction is not None:
-            logits = self.opt_functor.best_prediction
-        else:
-            _, _, logits, _, _ = eval_fn(self.opt_data)
-            logits = np.asarray(logits)
-        # [B, Hp, Wp] -> [B, 1, H, W] (flip inverse happens in the transform
-        # cascade like the reference)
-        return logits[:, None, :h, :w]
+        # not optimizing (first click, or undo back below the threshold):
+        # head with the current scale/bias (zeros after reset -> identity)
+        low = self._head_low(self.variables, self.input_data,
+                             jnp.asarray(self.opt_data), bs=bs)
+        low = np.transpose(np.asarray(low), (0, 3, 1, 2))
+        return _resize_chw(low, hp, wp)[:, :, :h, :w]
 
 
 class InputOptimizer(ScaleBiasOptimizer):
@@ -390,11 +487,67 @@ class InputBRSPredictor(Predictor):
         # per click). True: reference-trajectory scipy loop — parity testing.
         self.host_lbfgs = host_lbfgs
         self.opt_data = None
-        self._loss_grad = jax.jit(self._loss_grad_fn,
-                                  static_argnames=("out_h", "out_w", "bs"))
-        self._device_brs = jax.jit(
-            self._device_brs_fn,
-            static_argnames=("out_h", "out_w", "bs", "maxfun"))
+
+        from cutie_tpu.ritm.inference import cached_jit
+        functor = opt_functor
+        with_flip = self.with_flip
+        num_channels = self.num_channels
+        target = optimize_target
+        fkey = _functor_statics(functor)
+
+        def _objective_from(variables, img, pts, pos, neg, out_h, out_w, bs):
+            from cutie_tpu.ops.resize import bilinear_resize_align_corners
+
+            def objective(xf):
+                bias, reg = functor.unpack_bias(
+                    xf, (bs, out_h, out_w, num_channels))
+                low = model.apply(variables, img, pts, bias, target=target,
+                                  method="low_res_instances_with_input_bias")
+                logits = bilinear_resize_align_corners(low, out_h, out_w)[..., 0]
+                result = jax.nn.sigmoid(logits)
+                pm, nm = pos, neg
+                if with_flip and functor.flip_average:
+                    n = result.shape[0] // 2
+                    result = 0.5 * (result[:n] + result[n:, :, ::-1])
+                    pm, nm = pm[:n], nm[:n]
+                loss, fmp, fmn = brs_mask_loss(result, pm, nm)
+                return loss + reg, (low[..., 0], logits > 0, fmp, fmn)
+
+            return objective
+
+        def build_loss_grad():
+            def fn(variables, img, pts, pos, neg, x, *, out_h, out_w, bs):
+                objective = _objective_from(variables, img, pts, pos, neg,
+                                            out_h, out_w, bs)
+
+                def total(xf):
+                    loss, (low, _mask, fmp, fmn) = objective(xf)
+                    return loss, (low, fmp, fmn)
+
+                (loss, (low, fmp, fmn)), grad = jax.value_and_grad(
+                    total, has_aux=True)(x)
+                return loss, grad, low, fmp, fmn
+
+            return jax.jit(fn, static_argnames=("out_h", "out_w", "bs"))
+
+        def build_device_brs():
+            def fn(variables, img, pts, map_pts, x0, *, out_h, out_w, bs,
+                   maxfun):
+                pos, neg = click_maps_from_points(map_pts, out_h, out_w)
+                objective = _objective_from(variables, img, pts, pos, neg,
+                                            out_h, out_w, bs)
+                return device_lbfgs_drive(
+                    objective, x0, maxfun=maxfun, thresh=functor.prob_thresh,
+                    min_iou_diff=functor.min_iou_diff)
+
+            return jax.jit(fn, static_argnames=("out_h", "out_w", "bs",
+                                                "maxfun"))
+
+        mk = (id(model), "input_brs", target, with_flip, fkey)
+        self._loss_grad = cached_jit(mk + ("loss_grad",), model,
+                                     build_loss_grad)
+        self._device_brs = cached_jit(mk + ("device_brs",), model,
+                                      build_device_brs)
 
     def set_input_image(self, image):
         super().set_input_image(image)
@@ -409,104 +562,55 @@ class InputBRSPredictor(Predictor):
         super().set_states(states)
         self.opt_data = states.get("opt_data")
 
-    def _loss_grad_fn(self, variables, img, pts, pos_mask, neg_mask, x, *,
-                      out_h, out_w, bs):
-        from cutie_tpu.ops.resize import bilinear_resize_align_corners
-
-        def total(xf):
-            bias, reg = self.opt_functor.unpack_bias(
-                xf, (bs, out_h, out_w, self.num_channels))
-            low = self.model.apply(variables, img, pts, bias,
-                                   target=self.optimize_target,
-                                   method="low_res_instances_with_input_bias")
-            logits = bilinear_resize_align_corners(low, out_h, out_w)[..., 0]
-            result = jax.nn.sigmoid(logits)
-            pm, nm = pos_mask, neg_mask
-            if self.with_flip and self.opt_functor.flip_average:
-                n = result.shape[0] // 2
-                result = 0.5 * (result[:n] + result[n:, :, ::-1])
-                pm, nm = pm[:n], nm[:n]
-            loss, fmp, fmn = brs_mask_loss(result, pm, nm)
-            return loss + reg, (logits, fmp, fmn)
-
-        (loss, (logits, fmp, fmn)), grad = jax.value_and_grad(
-            total, has_aux=True)(x)
-        return loss, grad, logits, fmp, fmn
-
-    def _device_brs_fn(self, variables, img, pts, pos_mask, neg_mask, x0, *,
-                       out_h, out_w, bs, maxfun):
-        """Fused-on-device Input-BRS (see device_lbfgs_drive): the opt vector
-        is the full additive input-bias map, optimized through the whole
-        forward in one dispatch per click."""
-        from cutie_tpu.ops.resize import bilinear_resize_align_corners
-
-        def objective(xf):
-            bias, reg = self.opt_functor.unpack_bias(
-                xf, (bs, out_h, out_w, self.num_channels))
-            low = self.model.apply(variables, img, pts, bias,
-                                   target=self.optimize_target,
-                                   method="low_res_instances_with_input_bias")
-            logits = bilinear_resize_align_corners(low, out_h, out_w)[..., 0]
-            result = jax.nn.sigmoid(logits)
-            pm, nm = pos_mask, neg_mask
-            if self.with_flip and self.opt_functor.flip_average:
-                n = result.shape[0] // 2
-                result = 0.5 * (result[:n] + result[n:, :, ::-1])
-                pm, nm = pm[:n], nm[:n]
-            loss, fmp, fmn = brs_mask_loss(result, pm, nm)
-            return loss + reg, (logits, fmp, fmn)
-
-        return device_lbfgs_drive(
-            objective, x0, maxfun=maxfun,
-            thresh=self.opt_functor.prob_thresh,
-            min_iou_diff=self.opt_functor.min_iou_diff)
-
     _clicks_maps = HRNetFeatureBRSPredictor._clicks_maps
+    _map_points = staticmethod(HRNetFeatureBRSPredictor._map_points)
 
     def _run_model(self, image_nd, points_nd, clicks_lists=None):
+        from cutie_tpu.ritm.inference import _resize_chw, pad_hw
+
         if clicks_lists is None:
             return super()._run_model(image_nd, points_nd)
         num_clicks = len(clicks_lists[0])
         b, c, h, w = image_nd.shape
         bs = b // 2 if self.with_flip else b
-        pos_mask, neg_mask = self._clicks_maps(clicks_lists, h, w)
 
-        hp = int(math.ceil(h / 32) * 32)
-        wp = int(math.ceil(w / 32) * 32)
+        hp, wp = pad_hw(h, w)
         n_opt = bs * hp * wp * self.num_channels
         if self.opt_data is None or self.opt_data.shape[0] != n_opt:
             self.opt_data = np.zeros((n_opt,), np.float32)
 
         img = np.zeros((b, hp, wp, c), np.float32)
         img[:, :h, :w] = np.transpose(image_nd, (0, 2, 3, 1))
-        k = points_nd.shape[1] // 2
-        kp = max(1, 1 << (k - 1).bit_length())
-        pts = np.full((b, 2 * kp, 3), -1.0, np.float32)
-        pts[:, :k] = points_nd[:, :k]
-        pts[:, kp:kp + k] = points_nd[:, k:]
+        pts = self._pad_points(points_nd)
+        img_j, pts_j = jnp.asarray(img), jnp.asarray(pts)
 
+        if num_clicks > self.optimize_after_n_clicks and not self.host_lbfgs:
+            # fused path: one dispatch per click, low-res best-logits fetch
+            maxfun = int(self.opt_functor.optimizer_params.get("maxfun", 20))
+            x, best_low, _ = self._device_brs(
+                self.variables, img_j, pts_j,
+                jnp.asarray(self._map_points(clicks_lists)),
+                jnp.asarray(self.opt_data), out_h=hp, out_w=wp, bs=bs,
+                maxfun=maxfun)
+            self.opt_data = np.asarray(x, np.float32)
+            low = np.asarray(best_low)[:, None]
+            return _resize_chw(low, hp, wp)[:, :, :h, :w]
+
+        pos_mask, neg_mask = self._clicks_maps(clicks_lists, h, w)
         pos_p = np.zeros((b, hp, wp), np.float32)
         neg_p = np.zeros((b, hp, wp), np.float32)
         pos_p[:, :h, :w] = pos_mask
         neg_p[:, :h, :w] = neg_mask
-        img_j, pts_j = jnp.asarray(img), jnp.asarray(pts)
         pos_j, neg_j = jnp.asarray(pos_p), jnp.asarray(neg_p)
 
-        def eval_fn(x):
-            return self._loss_grad(self.variables, img_j, pts_j, pos_j, neg_j,
-                                   jnp.asarray(x, jnp.float32),
-                                   out_h=hp, out_w=wp, bs=bs)
+        def eval_fn(xv):
+            loss, grad, low, fmp, fmn = self._loss_grad(
+                self.variables, img_j, pts_j, pos_j, neg_j,
+                jnp.asarray(xv, jnp.float32), out_h=hp, out_w=wp, bs=bs)
+            logits = _resize_chw(np.asarray(low)[:, None], hp, wp)[:, 0]
+            return loss, grad, logits, fmp, fmn
 
         self.opt_functor.init_click(eval_fn)
-        if num_clicks > self.optimize_after_n_clicks and not self.host_lbfgs:
-            maxfun = int(self.opt_functor.optimizer_params.get("maxfun", 20))
-            x, best_logits, _ = self._device_brs(
-                self.variables, img_j, pts_j, pos_j, neg_j,
-                jnp.asarray(self.opt_data), out_h=hp, out_w=wp, bs=bs,
-                maxfun=maxfun)
-            self.opt_data = np.asarray(x, np.float32)
-            logits = np.asarray(best_logits)
-            return logits[:, None, :h, :w]
         if num_clicks > self.optimize_after_n_clicks:
             opt_result = fmin_l_bfgs_b(func=self.opt_functor, x0=self.opt_data,
                                        **self.opt_functor.optimizer_params)

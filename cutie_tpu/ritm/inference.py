@@ -9,8 +9,14 @@ Behavioral parity targets:
   - gui/ritm/utils/misc.py bbox helpers
 
 Host code is numpy; the network call goes through a shape-bucketed jit of
-HRNetISModel (images padded up to multiples of 32 so ZoomIn's variable crops
+HRNetISModel (images padded up to multiples of 64 so ZoomIn's variable crops
 hit a handful of compiled shapes).
+
+Latency engineering (round 3): jitted callables live in a MODULE-LEVEL cache
+keyed by model identity + static config, not on predictor instances — the
+GUI rebuilds the predictor on every image/object switch (reset_predictor),
+which used to discard every compiled graph and recompile the full network
+(~60-75 s per shape bucket on a v5e) on the next click.
 """
 from __future__ import annotations
 
@@ -21,6 +27,28 @@ from typing import List, Optional, Tuple
 
 import cv2
 import numpy as np
+
+# Distinct ZoomIn crops must land on few compiled shapes: pad H/W up to this
+# multiple (waste is cropped off after the forward; clicks keep unpadded
+# coords). 64 halves the bucket count of the old 32 at <= 15% extra pixels.
+PAD_MULTIPLE = 64
+
+
+def pad_hw(h: int, w: int) -> Tuple[int, int]:
+    return (int(math.ceil(h / PAD_MULTIPLE) * PAD_MULTIPLE),
+            int(math.ceil(w / PAD_MULTIPLE) * PAD_MULTIPLE))
+
+
+# Compiled-callable cache surviving predictor rebuilds. Values keep a strong
+# ref to the model so an id() key can't alias a collected model.
+_JIT_CACHE: dict = {}
+
+
+def cached_jit(key, keepalive, builder):
+    ent = _JIT_CACHE.get(key)
+    if ent is None:
+        ent = _JIT_CACHE[key] = (keepalive, builder())
+    return ent[1]
 
 
 # ------------------------------------------------------------------- clicks
@@ -414,33 +442,51 @@ class Predictor:
         self.variables = variables
         self.with_prev_mask = getattr(model, "with_prev_mask", True)
 
-        self._apply = jax.jit(model.apply)
+        self._apply = cached_jit((id(model), "apply"), model,
+                                 lambda: jax.jit(model.apply))
         # fetch stride-4 logits and upsample on host when the model supports
         # it (HRNet): ~16x less D2H per click; _resize_chw is bit-identical
         # to the in-model align-corners upsample
-        self._apply_low = (jax.jit(functools.partial(
-            model.apply, method="low_res_instances"))
-            if hasattr(type(model), "low_res_instances") else None)
+        has_low = hasattr(type(model), "low_res_instances")
 
-        if self._apply_low is not None:
+        def build_low():
             import jax.numpy as jnp
 
-            def _fwd_flip(variables, img1, pts, w):
+            def _fwd(variables, rgb, mask, pts):
+                img = rgb if mask is None else jnp.concatenate([rgb, mask], -1)
+                return model.apply(variables, img, pts,
+                                   method="low_res_instances")
+
+            return jax.jit(_fwd)
+
+        def build_low_flip():
+            import jax.numpy as jnp
+
+            def _fwd_flip(variables, rgb, mask, pts, w):
                 # reconstruct the horizontally-flipped batch member ON DEVICE
                 # (halves the per-click H2D upload, the dominant latency term
                 # over a TPU tunnel). Exact: content occupies cols [0, w) of
                 # the zero-padded canvas; full-width reverse puts it at
                 # [wp-w, wp) and the roll realigns it to [0, w) — identical
                 # values to the host flip-then-pad, zeros elsewhere.
+                img1 = rgb if mask is None else jnp.concatenate([rgb, mask], -1)
                 rev = img1[:, :, ::-1, :]
                 img2 = jnp.roll(rev, w - img1.shape[2], axis=2)
                 img = jnp.concatenate([img1, img2], axis=0)
                 return model.apply(variables, img, pts,
                                    method="low_res_instances")
 
-            self._apply_low_flip = jax.jit(_fwd_flip)
-        else:
-            self._apply_low_flip = None
+            return jax.jit(_fwd_flip)
+
+        self._apply_low = (cached_jit((id(model), "low"), model, build_low)
+                           if has_low else None)
+        self._apply_low_flip = (cached_jit((id(model), "low_flip"), model,
+                                           build_low_flip) if has_low else None)
+        # device-resident RGB crop cache: the 3 static image channels upload
+        # once per ROI change; per click only prev-mask + points move H2D
+        self._rgb_dev = None
+        self._rgb_tag = None
+        self._transforms_changed = True
 
         self.transforms: List[BaseTransform] = []
         if zoom_in is not None:
@@ -459,6 +505,9 @@ class Predictor:
             image = image[None]
         self.original_image = np.asarray(image, np.float32)
         self.prev_prediction = np.zeros_like(self.original_image[:, :1])
+        self._rgb_dev = None
+        self._rgb_tag = None
+        self._transforms_changed = True
 
     def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:
         clicks_list = clicker.get_clicks()
@@ -472,8 +521,9 @@ class Predictor:
         if self.with_prev_mask:
             input_image = np.concatenate([input_image, prev_mask], axis=1)
 
-        image_nd, clicks_lists, _changed = self._apply_transforms(
+        image_nd, clicks_lists, changed = self._apply_transforms(
             input_image, [clicks_list])
+        self._transforms_changed = changed
         points_nd = self._get_points_nd(clicks_lists)
         pred_logits = self._run_model(image_nd, points_nd,
                                       clicks_lists=clicks_lists)
@@ -488,34 +538,63 @@ class Predictor:
         self.prev_prediction = prediction
         return prediction
 
-    def _run_model(self, image_nd, points_nd, clicks_lists=None) -> np.ndarray:
-        """Pad image to multiples of 32 and clicks to powers of two so the jit
-        sees a handful of shapes; crop the logits back. clicks_lists is used
-        by the f-BRS subclass."""
-        b, c, h, w = image_nd.shape
-        hp = int(math.ceil(h / 32) * 32)
-        wp = int(math.ceil(w / 32) * 32)
-        img = np.zeros((b, hp, wp, c), np.float32)
-        img[:, :h, :w] = np.transpose(image_nd, (0, 2, 3, 1))
+    def _split_upload(self, image_nd, hp, wp):
+        """Pad + NHWC-ify and move to device, splitting static RGB channels
+        (uploaded once per ROI change — cached on device) from the per-click
+        prev-mask channel. Returns (rgb_dev [b,hp,wp,3], mask_dev or None)."""
+        import jax.numpy as jnp
 
+        b, c, h, w = image_nd.shape
+        tag = (b, c, h, w, hp, wp)
+        if (self._rgb_dev is None or self._rgb_tag != tag
+                or self._transforms_changed):
+            rgb = np.zeros((b, hp, wp, 3), np.float32)
+            rgb[:, :h, :w] = np.transpose(image_nd[:, :3], (0, 2, 3, 1))
+            self._rgb_dev = jnp.asarray(rgb)
+            self._rgb_tag = tag
+            self._transforms_changed = False
+        if c == 3:
+            return self._rgb_dev, None
+        m = np.zeros((b, hp, wp, c - 3), np.float32)
+        m[:, :h, :w] = np.transpose(image_nd[:, 3:], (0, 2, 3, 1))
+        return self._rgb_dev, jnp.asarray(m)
+
+    @staticmethod
+    def _pad_points(points_nd):
+        """Pad clicks to powers of two so click count doesn't multiply the
+        compiled-shape set."""
+        b = points_nd.shape[0]
         k = points_nd.shape[1] // 2
         kp = max(1, 1 << (k - 1).bit_length())
         pts = np.full((b, 2 * kp, 3), -1.0, np.float32)
         pts[:, :k] = points_nd[:, :k]
         pts[:, kp:kp + k] = points_nd[:, k:]
+        return pts
+
+    def _run_model(self, image_nd, points_nd, clicks_lists=None) -> np.ndarray:
+        """Pad image to PAD_MULTIPLE buckets and clicks to powers of two so
+        the jit sees a handful of shapes; crop the logits back. clicks_lists
+        is used by the f-BRS subclass."""
+        b, c, h, w = image_nd.shape
+        hp, wp = pad_hw(h, w)
+        pts = self._pad_points(points_nd)
 
         if self._apply_low is not None:
             if b == 2 and self.with_flip and self._apply_low_flip is not None:
                 # batch member 1 is the horizontal flip (AddHorizontalFlip is
                 # the last transform) — rebuild it on device, upload only
-                # member 0
-                low = self._apply_low_flip(self.variables, img[:1], pts,
+                # member 0's mask channel (RGB is device-cached)
+                rgb, mask = self._split_upload(image_nd[:1], hp, wp)
+                low = self._apply_low_flip(self.variables, rgb, mask, pts,
                                            np.int32(w))
             else:
-                low = self._apply_low(self.variables, img, pts)
+                rgb, mask = self._split_upload(image_nd, hp, wp)
+                low = self._apply_low(self.variables, rgb, mask, pts)
             low = np.transpose(np.asarray(low), (0, 3, 1, 2))  # [B,1,Hp/4,Wp/4]
             inst = _resize_chw(low, hp, wp)          # host upsample (exact)
             return inst[:, :, :h, :w]
+        img = np.zeros((b, hp, wp, c), np.float32)
+        img[:, :h, :w] = np.transpose(image_nd, (0, 2, 3, 1))
         out = self._apply(self.variables, img, pts)
         inst = np.asarray(out["instances"])  # [B, Hp, Wp, 1]
         return np.transpose(inst, (0, 3, 1, 2))[:, :, :h, :w]

@@ -128,15 +128,23 @@ class HRNetISModel(nn.Module):
             feats, _aux = self.feature_extractor.head_ocr(feats)
         return feats
 
-    def head_from_feats(self, feats: jnp.ndarray, out_h: int, out_w: int,
-                        insertion_mode: str = "A"):
-        """Head + upsample from (possibly scale/bias-modified) features
-        (brs.py:182-210): 'A' reruns the OCR heads, 'C' only cls_head."""
+    def head_from_feats_low(self, feats: jnp.ndarray, insertion_mode: str = "A"):
+        """Pre-upsample head logits [B, H/4, W/4, 1] from (possibly
+        scale/bias-modified) features (brs.py:182-210): 'A' reruns the OCR
+        heads, 'C' only cls_head. The f-BRS predictor fetches these and
+        upsamples on host (bit-identical; 16x less D2H)."""
         if insertion_mode == "C":
             out, _aux = self.feature_extractor.cls_from_ocr(feats)
         else:
             out, _aux = self.feature_extractor.head(feats)
-        return bilinear_resize_align_corners(out.astype(jnp.float32), out_h, out_w)
+        return out.astype(jnp.float32)
+
+    def head_from_feats(self, feats: jnp.ndarray, out_h: int, out_w: int,
+                        insertion_mode: str = "A"):
+        """Head + upsample from (possibly scale/bias-modified) features
+        (brs.py:182-210)."""
+        return bilinear_resize_align_corners(
+            self.head_from_feats_low(feats, insertion_mode), out_h, out_w)
 
     def low_res_instances_with_input_bias(self, image: jnp.ndarray,
                                           points: jnp.ndarray,
