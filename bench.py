@@ -177,6 +177,13 @@ def main():
     except Exception as e:
         extra["amp_480p_3obj_fps"] = f"error: {e}"
     try:
+        cfg_lt_amp = _bench_config("lvos-val", amp=True)
+        bundle_lt_amp = build_model(cfg_lt_amp, weights=None)
+        extra["lt_amp_480p_3obj_fps"] = round(
+            bench_stream_fps(bundle_lt_amp, cfg_lt_amp, frames, mask0), 3)
+    except Exception as e:
+        extra["lt_amp_480p_3obj_fps"] = f"error: {e}"
+    try:
         extra["click_latency_ms"] = round(bench_click_latency() * 1000, 1)
     except Exception as e:
         extra["click_latency_ms"] = f"error: {e}"

@@ -321,9 +321,20 @@ class StepFunctions:
         p = qk.shape[1]
         bn = 512
         n_pad = -(-n // bn) * bn
+        # amp: stream values bf16 + bf16 readout matmul (the reference's
+        # autocast readout bmm); similarity/threshold stay fp32 exact
+        vdt = (jnp.bfloat16 if self.model.dtype == jnp.bfloat16
+               else jnp.float32)
         # block_p bounded so the [block_p, N] similarity scratch stays well
-        # inside VMEM (see kernel docstring)
-        bp = 256 if n_pad * 4 * 256 <= 48 * 1024 * 1024 else 128
+        # inside VMEM (see kernel docstring). Larger blocks mean fewer full
+        # passes over the value store — the dominant HBM term at LT sizes —
+        # so take the biggest block the scratch budget allows.
+        if vdt == jnp.bfloat16 and n_pad * 4 * 512 <= 60 * 1024 * 1024:
+            bp = 512
+        elif n_pad * 4 * 256 <= 48 * 1024 * 1024:
+            bp = 256
+        else:
+            bp = 128
         p_pad = -(-p // bp) * bp
         valid_pad = jnp.pad(valid, (0, n_pad - n))
         rs, us = [], []
@@ -338,7 +349,8 @@ class StepFunctions:
                           constant_values=1.0)
             vv = jnp.pad(mem_value[bi], ((0, 0), (0, n_pad - n), (0, 0)))
             r, u = radix_topk_readout(mk, ms, valid_pad, qkp, qep, vv,
-                                      self.top_k, block_p=bp, block_n=bn)
+                                      self.top_k, block_p=bp, block_n=bn,
+                                      value_dtype=vdt)
             rs.append(r[:, :p])
             us.append(u[:n])
         return jnp.stack(rs), jnp.stack(us)

@@ -208,6 +208,8 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
     # ---- pass 3: masked-softmax readout (values DMA'd per chunk)
     ocv = out_ref.shape[1]
 
+    bf16_vals = v_scratch.dtype == jnp.bfloat16
+
     def p3(ci, carry):
         acc, z = carry
         copy = pltpu.make_async_copy(v_hbm.at[pl.ds(ci * bn, bn), :],
@@ -216,10 +218,21 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
         w = w_chunk(ci)
         z = z + jnp.sum(w, axis=1, keepdims=True)
         copy.wait()
-        acc = acc + jax.lax.dot_general(w, v_scratch[:],
-                                        (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                        precision=jax.lax.Precision.HIGHEST)
+        # amp path: values stream bf16 (half the HBM traffic) and the
+        # accumulation matmul runs on the MXU's native bf16 path with fp32
+        # accumulate — the fp32 HIGHEST dot is a 6-pass decomposition and
+        # dominates the kernel at LT sizes. The top-k boundary (similarity,
+        # threshold, exp) stays exact fp32 in both modes.
+        if bf16_vals:
+            acc = acc + jax.lax.dot_general(
+                w.astype(jnp.bfloat16), v_scratch[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            acc = acc + jax.lax.dot_general(
+                w, v_scratch[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         return acc, z
 
     acc, z = jax.lax.fori_loop(
@@ -243,6 +256,7 @@ def radix_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
                        qk: jnp.ndarray, qe: jnp.ndarray, values: jnp.ndarray,
                        top_k: int, *, block_p: int = 256, block_n: int = 512,
                        vmem_limit_bytes: int = 100 * 1024 * 1024,
+                       value_dtype=jnp.float32,
                        interpret: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused exact memory read for ONE batch row, radix-select variant.
@@ -257,6 +271,11 @@ def radix_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
     N must divide by block_n and P by block_p. Pad tokens with valid=False;
     pad queries with qk=1e6, qe=1 (their similarity saturates ~-1e12, the
     masked exp underflows to 0, and they contribute nothing to usage).
+
+    value_dtype=bfloat16 is the amp mode: values stream bf16 through HBM
+    and the readout matmul runs bf16 with fp32 accumulate (the reference
+    runs its readout bmm under autocast — cutie.py:119-128); similarity,
+    radix threshold, and softmax stay exact fp32.
     """
     n, ck = mk.shape
     p = qk.shape[0]
@@ -294,7 +313,7 @@ def radix_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
         ),
         scratch_shapes=[
             pltpu.VMEM((block_p, n), jnp.float32),   # resident similarity
-            pltpu.VMEM((block_n, o * cv), jnp.float32),
+            pltpu.VMEM((block_n, o * cv), value_dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -302,7 +321,7 @@ def radix_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
         interpret=interpret,
     )(mk.astype(jnp.float32), ms.astype(jnp.float32)[None],
       valid.astype(jnp.float32)[None], qk.astype(jnp.float32),
-      qe.astype(jnp.float32), v2.astype(jnp.float32))
+      qe.astype(jnp.float32), v2.astype(value_dtype))
 
     readout = jnp.transpose(out.reshape(p, o, cv), (1, 0, 2))
     return readout, usage.sum(axis=0)

@@ -5,6 +5,24 @@ Behavioral parity target: reference cutie/utils/point_features.py:20-111
 coordinates with zero padding, top-uncertainty importance sampling.
 Channels-FIRST maps [N, C, H, W] like the reference (loss-side code keeps the
 reference layout since logits already come out [B, C, H, W]).
+
+TPU notes (round 3): a device trace of the training step showed the two
+zero-FLOP hotspots of this file — the backward scatter of `point_sample`
+(28.5 ms/step, the single biggest op: XLA lowers the VJP of a per-pixel
+gather as millions of scalar scatter-adds) and the `lax.top_k` bitonic sort
+over the oversampled uncertainty scores (~13 ms). Both are restructured:
+
+  * `point_sample` carries a custom VJP whose input_map gradient is a dense
+    separable-interpolation matmul (grad[c,h,w] = sum_p Wy[p,h] Wx[p,w]
+    g[c,p]), chunked over points to bound the intermediate — MXU work
+    instead of serialized scatter. On TPU the contraction runs bf16 with
+    fp32 accumulation (weights are in [0,1]; ~0.4% relative rounding on one
+    gradient path), elsewhere fp32-exact. `POINT_SAMPLE_EXACT_BWD` forces
+    the fp32 path everywhere (parity tests).
+  * top-uncertainty selection uses the exact radix-select k-th threshold
+    (ops/memory.topk_threshold_radix) + cumsum/searchsorted compaction —
+    no sort, no scatter. Identical set to `lax.top_k` up to exact fp32
+    ties (first-by-index instead of sort-order).
 """
 from __future__ import annotations
 
@@ -13,11 +31,14 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+# Force the exact fp32 scatter-free backward on every backend (tests).
+POINT_SAMPLE_EXACT_BWD = False
 
-def point_sample(input_map: jnp.ndarray, point_coords: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of [0,1]^2 points (grid_sample align_corners=False,
-    zero padding). input_map [N, C, H, W]; point_coords [N, P, 2] as (x, y).
-    Returns [N, C, P]."""
+_BWD_CHUNK = 2048  # points per backward-matmul chunk ([N,C,chunk,W] interm.)
+
+
+def _point_sample_gather(input_map: jnp.ndarray,
+                         point_coords: jnp.ndarray) -> jnp.ndarray:
     n, c, h, w = input_map.shape
     x = point_coords[..., 0] * w - 0.5  # [N, P]
     y = point_coords[..., 1] * h - 0.5
@@ -47,12 +68,131 @@ def point_sample(input_map: jnp.ndarray, point_coords: jnp.ndarray) -> jnp.ndarr
             v10 * (1 - dx) * dy + v11 * dx * dy)
 
 
+def _axis_weights(t: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Dense 1D interpolation matrix [..., P, size] for pixel coords t
+    (<=2 nonzeros per row: (1-dt) at floor(t), dt at floor(t)+1). Out-of-
+    range corners match no column -> weight 0, which reproduces the gather
+    path's zero-padding (a corner needs BOTH axes in range; the row/col
+    weight product is zero whenever either axis is outside)."""
+    t0 = jnp.floor(t)
+    dt = (t - t0)[..., None]
+    i = jnp.arange(size, dtype=t.dtype)
+    t0 = t0[..., None]
+    return (i == t0) * (1.0 - dt) + (i == t0 + 1.0) * dt
+
+
+@jax.custom_vjp
+def point_sample(input_map: jnp.ndarray, point_coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of [0,1]^2 points (grid_sample align_corners=False,
+    zero padding). input_map [N, C, H, W]; point_coords [N, P, 2] as (x, y).
+    Returns [N, C, P]."""
+    return _point_sample_gather(input_map, point_coords)
+
+
+def _point_sample_fwd(input_map, point_coords):
+    out = _point_sample_gather(input_map, point_coords)
+    return out, (input_map, point_coords)
+
+
+def _point_sample_bwd(res, g):
+    input_map, coords = res
+    n, c, h, w = input_map.shape
+    p = coords.shape[1]
+    x = coords[..., 0].astype(jnp.float32) * w - 0.5
+    y = coords[..., 1].astype(jnp.float32) * h - 0.5
+    g32 = g.astype(jnp.float32)
+
+    use_bf16 = (not POINT_SAMPLE_EXACT_BWD
+                and jax.default_backend() == "tpu")
+    mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    # pad P up to a chunk multiple with zero-gradient points
+    cs = min(_BWD_CHUNK, p)
+    pp = -(-p // cs) * cs
+    if pp != p:
+        x = jnp.pad(x, ((0, 0), (0, pp - p)))
+        y = jnp.pad(y, ((0, 0), (0, pp - p)))
+        g32 = jnp.pad(g32, ((0, 0), (0, 0), (0, pp - p)))
+
+    # [N, chunks, cs] views
+    xc = x.reshape(n, -1, cs)
+    yc = y.reshape(n, -1, cs)
+    gc = g32.reshape(n, c, -1, cs).transpose(2, 0, 1, 3)  # [chunks, N, C, cs]
+
+    def chunk_grad(carry, inputs):
+        xk, yk, gk = inputs          # [N,cs], [N,cs], [N,C,cs]
+        wx = _axis_weights(xk, w).astype(mm_dtype)   # [N, cs, W]
+        wy = _axis_weights(yk, h).astype(mm_dtype)   # [N, cs, H]
+        t = gk.astype(mm_dtype)[..., None] * wx[:, None]  # [N, C, cs, W]
+        gm = jnp.einsum("nph,ncpw->nchw", wy, t,
+                        preferred_element_type=jnp.float32)
+        return carry + gm, None
+
+    zero = jnp.zeros((n, c, h, w), jnp.float32)
+    grad_map, _ = jax.lax.scan(
+        chunk_grad, zero,
+        (xc.transpose(1, 0, 2), yc.transpose(1, 0, 2), gc))
+
+    # coordinate gradient (d out / d coords), needed because callers may
+    # differentiate through coords in principle; computed via the analytic
+    # bilinear derivative with the same gather the forward uses.
+    x0 = jnp.floor(x[:, :p])
+    y0 = jnp.floor(y[:, :p])
+    dx = (x[:, :p] - x0)[:, None, :]
+    dy = (y[:, :p] - y0)[:, None, :]
+
+    def gather(yi, xi):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = jnp.take_along_axis(
+            input_map.reshape(n, c, h * w).astype(jnp.float32),
+            (yi_c * w + xi_c)[:, None, :], axis=2)
+        return vals * inside[:, None, :]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    gp = g.astype(jnp.float32)
+    # d/ddx, d/ddy of the bilinear blend, summed over channels
+    ddx = ((v01 - v00) * (1 - dy) + (v11 - v10) * dy) * gp
+    ddy = ((v10 - v00) * (1 - dx) + (v11 - v01) * dx) * gp
+    grad_coords = jnp.stack([ddx.sum(1) * w, ddy.sum(1) * h], axis=-1)
+    return (grad_map.astype(input_map.dtype),
+            grad_coords.astype(coords.dtype))
+
+
+point_sample.defvjp(_point_sample_fwd, _point_sample_bwd)
+
+
 def calculate_uncertainty(sem_seg_logits: jnp.ndarray) -> jnp.ndarray:
-    """-(top1 - top2) logit margin (point_features.py:20-35). [N,C,P] -> [N,1,P]."""
+    """-(top1 - top2) logit margin (point_features.py:20-35). [N,C,P] -> [N,1,P].
+    Sort-free: top1 via max, top2 via max with the first argmax masked (ties
+    at the max give margin 0, matching torch.topk's (m, m))."""
     if sem_seg_logits.shape[1] == 2:
         return -jnp.abs(sem_seg_logits[:, 1:2])
-    top2 = jax.lax.top_k(sem_seg_logits.swapaxes(1, 2), 2)[0]  # [N,P,2]
-    return (top2[..., 1] - top2[..., 0])[:, None, :]
+    m1 = jnp.max(sem_seg_logits, axis=1, keepdims=True)          # [N,1,P]
+    am = jnp.argmax(sem_seg_logits, axis=1)                      # [N,P]
+    c = sem_seg_logits.shape[1]
+    not_first = jnp.arange(c)[None, :, None] != am[:, None, :]
+    m2 = jnp.max(jnp.where(not_first, sem_seg_logits, -jnp.inf),
+                 axis=1, keepdims=True)
+    return m2 - m1
+
+
+def _top_uncertain_indices(u: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k most-uncertain points per row, sort-free.
+    u: [N, S] -> [N, k] int32. Exact same set as lax.top_k except on exact
+    fp32 ties at the k-th value (first-by-index wins)."""
+    from cutie_tpu.ops.memory import topk_threshold_radix
+
+    tau = topk_threshold_radix(u[:, None, :], min(k, u.shape[-1]))  # [N,1,1]
+    mask = u >= tau[:, 0]
+    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)   # [N, S] nondecreasing
+    want = jnp.arange(1, k + 1, dtype=jnp.int32)
+    idx = jax.vmap(lambda row: jnp.searchsorted(row, want, side="left"))(cs)
+    return idx.astype(jnp.int32)
 
 
 def get_uncertain_point_coords_with_randomness(
@@ -68,7 +208,7 @@ def get_uncertain_point_coords_with_randomness(
     point_uncertainties = uncertainty_func(point_logits)  # [N,1,S]
     num_uncertain = int(importance_sample_ratio * num_points)
     num_random = num_points - num_uncertain
-    idx = jax.lax.top_k(point_uncertainties[:, 0, :], num_uncertain)[1]  # [N,K]
+    idx = _top_uncertain_indices(point_uncertainties[:, 0, :], num_uncertain)
     picked = jnp.take_along_axis(point_coords, idx[..., None], axis=1)
     if num_random > 0:
         picked = jnp.concatenate(

@@ -124,3 +124,41 @@ def test_radix_topk_readout_padded_queries():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(usage), np.asarray(use_ref[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_radix_topk_readout_bf16_values():
+    """amp variant: bf16 value streaming + bf16 readout matmul must match the
+    XLA chain computed on bf16-rounded values to bf16 tolerance (top-k
+    boundary and softmax stay fp32-exact, so the SELECTED token set is
+    identical — only the value contraction is rounded)."""
+    import jax.numpy as jnp
+
+    from cutie_tpu.ops.memory import get_similarity, readout, topk_softmax
+    from cutie_tpu.ops.pallas_kernels import radix_topk_readout
+
+    rng = np.random.default_rng(4)
+    n, p, o, ck, cv, k = 1024, 256, 3, 64, 128, 30
+    mk = rng.normal(size=(n, ck)).astype(np.float32)
+    ms = rng.uniform(1, 3, size=(n,)).astype(np.float32)
+    valid = np.zeros((n,), bool)
+    valid[:900] = True
+    qk = rng.normal(size=(p, ck)).astype(np.float32)
+    qe = rng.uniform(size=(p, ck)).astype(np.float32)
+    vals = rng.normal(size=(o, n, cv)).astype(np.float32)
+
+    rd, usage = radix_topk_readout(
+        jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(valid), jnp.asarray(qk),
+        jnp.asarray(qe), jnp.asarray(vals), k, block_p=128, block_n=256,
+        value_dtype=jnp.bfloat16, interpret=True)
+
+    sim = get_similarity(mk[None], ms[None], qk[None], qe[None],
+                         valid=jnp.asarray(valid)[None])
+    aff, use_ref = topk_softmax(sim, k, return_usage=True)
+    vals_bf = jnp.asarray(vals).astype(jnp.bfloat16).astype(jnp.float32)
+    rd_ref = readout(aff, vals_bf[None])[0]
+    # usage doesn't touch the values: stays fp32-exact
+    np.testing.assert_allclose(np.asarray(usage), np.asarray(use_ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    # readout: bf16 contraction tolerance
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_ref),
+                               rtol=2e-2, atol=2e-2)

@@ -47,6 +47,54 @@ def test_point_sample_matches_torch_gridsample():
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
 
 
+def test_point_sample_matmul_backward_matches_autodiff():
+    """The custom scatter-free VJP (fp32 path on CPU) must match autodiff
+    of the plain gather implementation for both cotangents."""
+    import jax
+    import jax.numpy as jnp
+
+    import cutie_tpu.ops.point_features as pf
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, 4, 17, 23)).astype(np.float32))
+    # include out-of-range points to exercise the zero-padding corners
+    coords = jnp.asarray(
+        rng.uniform(-0.05, 1.05, size=(3, 57, 2)).astype(np.float32))
+
+    def loss_c(m, c):
+        return jnp.sum(jnp.sin(pf.point_sample(m, c)))
+
+    def loss_r(m, c):
+        return jnp.sum(jnp.sin(pf._point_sample_gather(m, c)))
+
+    g1 = jax.grad(loss_c, argnums=(0, 1))(x, coords)
+    g2 = jax.grad(loss_r, argnums=(0, 1))(x, coords)
+    np.testing.assert_allclose(g1[0], g2[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(g1[1], g2[1], rtol=1e-4, atol=1e-3)
+
+
+def test_uncertain_point_selection_matches_topk():
+    """Radix + searchsorted selection picks the same index set as lax.top_k,
+    and the sort-free uncertainty equals the top-2 margin."""
+    import jax
+    import jax.numpy as jnp
+
+    import cutie_tpu.ops.point_features as pf
+
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.normal(size=(4, 999)).astype(np.float32))
+    idx_new = np.asarray(pf._top_uncertain_indices(u, 100))
+    idx_old = np.asarray(jax.lax.top_k(u, 100)[1])
+    for r in range(4):
+        assert set(idx_new[r].tolist()) == set(idx_old[r].tolist())
+
+    logits = jnp.asarray(rng.normal(size=(3, 5, 211)).astype(np.float32))
+    top2 = jax.lax.top_k(logits.swapaxes(1, 2), 2)[0]
+    ref = (top2[..., 1] - top2[..., 0])[:, None, :]
+    np.testing.assert_allclose(pf.calculate_uncertainty(logits), ref,
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_train_step_runs_and_descends():
     import jax
 

@@ -8,6 +8,7 @@ numerical parity without needing /root/reference or torch at test time.
 Usage: python tools/gen_golden.py [--variant small|base]
 """
 import argparse
+import re
 import sys
 import types
 from pathlib import Path
@@ -601,6 +602,14 @@ def gen_stream_480(out_dir, use_long_term: bool, tag: str, t: int,
             else "state_dict_base.npz")
     sd_npz = np.load(REPO / "tests" / "golden" / name)
     sd = {k: torch.tensor(np.asarray(v, np.float32)) for k, v in sd_npz.items()}
+    if trained:
+        # resolve the GConv 'conv'-wrapper naming the exporter leaves
+        # ambiguous without template_keys (our flax GConv2d wraps its conv
+        # in a 'conv' submodule the torch modules don't have)
+        tkeys = set(model.state_dict().keys())
+        sd = {(k if k in tkeys
+               else re.sub(r"\.conv\.(weight|bias)$", r".\1", k)): v
+              for k, v in sd.items()}
     if trained:
         # the exported dict omits num_batches_tracked counters and the PE
         # inv_freq buffers (deterministic constants both sides recompute)
