@@ -132,7 +132,9 @@ class AdaptiveIoU:
         gt = np.asarray(gt, np.float32)
         gt_mask = gt > 0.5
         if self._from_logits:
-            pred = 1.0 / (1.0 + np.exp(-pred))
+            pos = pred >= 0
+            ex = np.exp(np.where(pos, -pred, pred))
+            pred = np.where(pos, 1.0 / (1.0 + ex), ex / (1.0 + ex))
         if not gt_mask.reshape(gt_mask.shape[0], -1).any(axis=1).any():
             return
         ignore = gt == self._ignore_label
