@@ -145,17 +145,31 @@ def _read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
     jax.lax.fori_loop(0, n_chunks, p3, 0)
 
 
+def _invert_order_key(k: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ops.memory._float_order_key (exact bit-level round trip;
+    no NaNs in this pipeline)."""
+    b = jnp.where((k >> 31) == 1, k ^ jnp.uint32(0x80000000), ~k)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
 def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
-                       out_ref, usage_ref, sim_ref, v_scratch, dma_sem, *,
+                       out_ref, usage_ref, key_ref, v_scratch, dma_sem, *,
                        top_k, bn, n_chunks, ck):
     """Exact top-k softmax readout with the [BP, N] similarity VMEM-resident.
 
-    pass 1: similarity into VMEM scratch (computed once, never in HBM);
+    pass 1: similarity -> order-preserving uint32 keys into VMEM scratch
+            (computed once, never in HBM; keys stored instead of raw floats
+            so the radix passes are pure compare+count — recomputing the
+            key transform inside all 32 passes cost ~1 ms/frame at LT
+            sizes, round-3 device trace);
     pass 2: EXACT k-th-largest threshold per query via 32-step radix select
-            on the order-preserving uint32 key transform (no sort — each
-            step is one vectorized compare+count over the resident sim);
-    pass 3: masked exp -> streamed value-chunk matmul accumulation;
-    pass 4: usage (column sums of normalized affinity).
+            (no sort — each step is one vectorized compare+count over the
+            resident keys);
+    pass 3: masked exp -> streamed value-chunk matmul accumulation; the
+            masked weights OVERWRITE the resident chunk (keys are dead
+            after thresholding) so
+    pass 4: usage (column sums of normalized affinity) is a pure scaled
+            load instead of a second key-compare + exp sweep.
 
     Ties at the exact k-th bit pattern are ALL kept (the sort-based paths
     keep an arbitrary k of them) — same caveat as ops/memory.py radix.
@@ -167,17 +181,17 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
     b_sq = jnp.sum(qe * qk * qk, axis=1, keepdims=True)
     inv_sqrt_ck = 1.0 / math.sqrt(ck)
 
+    # (_float_order_key: the same order-preserving uint32 transform the XLA
+    # radix path uses — one implementation to keep in sync)
     def p1(ci, _):
-        sim_ref[:, pl.ds(ci * bn, bn)] = _chunk_similarity(
-            mk_ref, ms_ref, valid_ref, qe, qkqe, b_sq, inv_sqrt_ck, ci, bn)
+        sim = _chunk_similarity(mk_ref, ms_ref, valid_ref, qe, qkqe, b_sq,
+                                inv_sqrt_ck, ci, bn)
+        key_ref[:, pl.ds(ci * bn, bn)] = _float_order_key(sim)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, p1, 0)
 
     # ---- pass 2: radix-select the exact k-th largest per query
-    # (_float_order_key: the same order-preserving uint32 transform the XLA
-    # radix path uses — one implementation to keep in sync)
-    order_keys = _float_order_key
     kk = jnp.int32(top_k)
 
     def bit_step(i, prefix):
@@ -185,10 +199,10 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
         cand = prefix | bit
 
         # chunked count keeps live VMEM-stack values at [BP, BN] — a full
-        # [BP, N] keys array (+ sim) on the stack OOMs scoped VMEM at
-        # production LT sizes (28.8 MB each at N=28160, block_p=256)
+        # [BP, N] keys array on the stack OOMs scoped VMEM at production
+        # LT sizes (28.8 MB at N=28160, block_p=256)
         def count_chunk(ci, cnt):
-            keys_c = order_keys(sim_ref[:, pl.ds(ci * bn, bn)])
+            keys_c = key_ref[:, pl.ds(ci * bn, bn)]
             # int32 count: Mosaic has no unsigned reductions
             return cnt + jnp.sum((keys_c >= cand).astype(jnp.int32), axis=1,
                                  keepdims=True)
@@ -200,11 +214,6 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
     tau_key = jax.lax.fori_loop(0, 32, bit_step,
                                 jnp.zeros((bp, 1), jnp.uint32))
 
-    def w_chunk(ci):
-        sim_c = sim_ref[:, pl.ds(ci * bn, bn)]
-        # sim <= 0 -> exp <= 1; masked NEG_INF -> exp == 0
-        return jnp.where(order_keys(sim_c) >= tau_key, jnp.exp(sim_c), 0.0)
-
     # ---- pass 3: masked-softmax readout (values DMA'd per chunk)
     ocv = out_ref.shape[1]
 
@@ -215,7 +224,13 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
         copy = pltpu.make_async_copy(v_hbm.at[pl.ds(ci * bn, bn), :],
                                      v_scratch, dma_sem)
         copy.start()
-        w = w_chunk(ci)
+        keys_c = key_ref[:, pl.ds(ci * bn, bn)]
+        sim_c = _invert_order_key(keys_c)
+        # sim <= 0 -> exp <= 1; masked NEG_INF -> exp == 0
+        w = jnp.where(keys_c >= tau_key, jnp.exp(sim_c), 0.0)
+        # keys are dead from here: park w (bitcast) for the usage pass
+        key_ref[:, pl.ds(ci * bn, bn)] = jax.lax.bitcast_convert_type(
+            w, jnp.uint32)
         z = z + jnp.sum(w, axis=1, keepdims=True)
         copy.wait()
         # amp path: values stream bf16 (half the HBM traffic) and the
@@ -245,8 +260,9 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
     qi = pl.program_id(0)
 
     def p4(ci, _):
-        usage_ref[qi, pl.ds(ci * bn, bn)] = jnp.sum(w_chunk(ci) / zsafe,
-                                                    axis=0)
+        w = jax.lax.bitcast_convert_type(key_ref[:, pl.ds(ci * bn, bn)],
+                                         jnp.float32)
+        usage_ref[qi, pl.ds(ci * bn, bn)] = jnp.sum(w / zsafe, axis=0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, p4, 0)
@@ -312,7 +328,9 @@ def radix_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
             jax.ShapeDtypeStruct((grid[0], n), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_p, n), jnp.float32),   # resident similarity
+            # resident similarity as order keys (pass 1-2), then masked
+            # weights bitcast in place (pass 3-4)
+            pltpu.VMEM((block_p, n), jnp.uint32),
             pltpu.VMEM((block_n, o * cv), value_dtype),
             pltpu.SemaphoreType.DMA,
         ],

@@ -437,7 +437,10 @@ class HRNetFeatureBRSPredictor(Predictor):
                 jnp.asarray(self._map_points(clicks_lists)),
                 jnp.asarray(self.opt_data), out_h=hp, out_w=wp, bs=bs,
                 maxfun=maxfun)
-            self.opt_data = np.asarray(x, np.float32)
+            # keep the opt vector DEVICE-RESIDENT: it only feeds the next
+            # device call, and every D2H fetch costs a full tunnel round-trip
+            # (cProfile round 3: 11 fetches = 1.4 s of the 6-click pass)
+            self.opt_data = x
             low = np.asarray(best_low)[:, None]  # [B, 1, Hp/4, Wp/4]
             return _resize_chw(low, hp, wp)[:, :, :h, :w]
 
@@ -461,7 +464,8 @@ class HRNetFeatureBRSPredictor(Predictor):
                 return loss, grad, logits, fmp, fmn
 
             self.opt_functor.init_click(eval_fn)
-            opt_result = fmin_l_bfgs_b(func=self.opt_functor, x0=self.opt_data,
+            opt_result = fmin_l_bfgs_b(func=self.opt_functor,
+                                       x0=np.asarray(self.opt_data, np.float64),
                                        **self.opt_functor.optimizer_params)
             self.opt_data = opt_result[0].astype(np.float32)
             if self.opt_functor.best_prediction is not None:
@@ -613,7 +617,9 @@ class InputBRSPredictor(Predictor):
                 jnp.asarray(self._map_points(clicks_lists)),
                 jnp.asarray(self.opt_data), out_h=hp, out_w=wp, bs=bs,
                 maxfun=maxfun)
-            self.opt_data = np.asarray(x, np.float32)
+            # device-resident opt vector (for RGB/DistMap-BRS it is a full
+            # [bs*Hp*Wp*C] image — fetching it per click costs a multi-MB D2H)
+            self.opt_data = x
             low = np.asarray(best_low)[:, None]
             return _resize_chw(low, hp, wp)[:, :, :h, :w]
 
@@ -633,7 +639,8 @@ class InputBRSPredictor(Predictor):
 
         self.opt_functor.init_click(eval_fn)
         if num_clicks > self.optimize_after_n_clicks:
-            opt_result = fmin_l_bfgs_b(func=self.opt_functor, x0=self.opt_data,
+            opt_result = fmin_l_bfgs_b(func=self.opt_functor,
+                                       x0=np.asarray(self.opt_data, np.float64),
                                        **self.opt_functor.optimizer_params)
             self.opt_data = opt_result[0].astype(np.float32)
 

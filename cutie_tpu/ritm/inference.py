@@ -186,17 +186,39 @@ def _segment_iou(s1, s2):
     return inter / union
 
 
+_torch_interp = None
+
+
 def _resize_chw(image, h, w):
     """align_corners=True bilinear resize of [1, C, H, W] numpy, computed ON
     HOST (same fp32 formula as ops.resize.bilinear_resize_align_corners).
     The predictor's transform cascade calls this 3x per click; routing it
     through the device costs a ~100 ms D2H sync per call over the TPU
     tunnel (measured: warm click latency 747 ms -> ~80 ms after making the
-    cascade host-side)."""
+    cascade host-side). Fast path: torch's C++ bilinear kernel — the exact
+    operator the reference calls — at ~5 ms/call where the numpy gather
+    formulation costs ~69 ms (cProfile round 3: 4 calls/click = 275 ms of
+    the 630 ms warm click median). numpy fallback keeps torch optional."""
     x = np.asarray(image, np.float32)
     in_h, in_w = x.shape[-2], x.shape[-1]
     if in_h == h and in_w == w:
         return x
+
+    global _torch_interp
+    if _torch_interp is None:
+        try:
+            import torch
+            import torch.nn.functional as tF
+
+            def _torch_interp(arr, hh, ww):
+                with torch.no_grad():
+                    t = torch.from_numpy(np.ascontiguousarray(arr))
+                    return tF.interpolate(t, size=(hh, ww), mode="bilinear",
+                                          align_corners=True).numpy()
+        except Exception:
+            _torch_interp = False
+    if _torch_interp:
+        return _torch_interp(x, h, w)
 
     def coords(n_in, n_out):
         if n_out == 1 or n_in == 1:
