@@ -2,9 +2,10 @@
 JSON, score dumps, blended visualizations, benchmark zips.
 
 Behavioral parity target: reference cutie/inference/utils/results_utils.py:30-256.
-Differences: probability score dumps use .npz (hickle/HDF5 is not in this
-environment — scripts/merge_multi_scale reads them back with numpy), and RLE
-encoding uses cutie_tpu.utils.rle.
+Differences: probability score dumps use reference-format .hkl when hickle is
+importable and fall back to .npz when it is not (hickle/HDF5 is not in this
+environment — scripts/merge_multi_scale reads both), and RLE encoding uses
+cutie_tpu.utils.rle.
 """
 from __future__ import annotations
 
@@ -20,6 +21,11 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 from PIL import Image
+
+try:  # optional: reference-format HDF5 score dumps (results_utils.py:194-208)
+    import hickle  # type: ignore
+except ImportError:  # not shipped in this environment — npz is the fallback
+    hickle = None
 
 from cutie_tpu.inference.object_manager import ObjectInfo, ObjectManager
 from cutie_tpu.utils import rle as rle_codec
@@ -187,8 +193,18 @@ def _save_one(args: ResultArgs):
             backward = {obj.id: tmp for obj, tmp in args.obj_to_tmp_id.items()}
             np.savez(path.join(this_out_path, "backward.npz"), **{
                 str(k): np.asarray(v) for k, v in backward.items()})
-        np.savez_compressed(
-            path.join(this_out_path, f"{frame_name[:-4]}.npz"), prob=prob_u8)
+            if hickle is not None:  # reference-tooling interop
+                hickle.dump(backward,
+                            path.join(this_out_path, "backward.hkl"), mode="w")
+        if hickle is not None:
+            # reference format (results_utils.py:204-208) so torch-side
+            # merge tooling can consume our dumps directly
+            hickle.dump(prob_u8,
+                        path.join(this_out_path, f"{frame_name[:-4]}.hkl"),
+                        mode="w", compression="lzf")
+        else:
+            np.savez_compressed(
+                path.join(this_out_path, f"{frame_name[:-4]}.npz"), prob=prob_u8)
 
     if saver.visualize:
         if args.path_to_image is None:

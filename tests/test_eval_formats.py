@@ -158,3 +158,34 @@ def test_ytvos_style_incremental_objects(tmp_path, monkeypatch):
     # reference's recorded masks
     ref = rec["probs"][7].argmax(0)
     assert (last == ref).mean() > 0.97
+
+
+def test_score_dump_hickle_roundtrip(tmp_path):
+    """save_scores writes reference-format .hkl dumps when hickle exists
+    (results_utils.py:194-208); npz fallback otherwise. Round-trips through
+    the same loader merge_multi_scale uses."""
+    import cutie_tpu.utils.results as results_mod
+    from cutie_tpu.inference.object_manager import ObjectManager
+
+    if results_mod.hickle is None:
+        pytest.skip("hickle not installed — npz fallback covered by "
+                    "test_eval_harness multi-scale merge")
+
+    om = ObjectManager()
+    om.add_new_objects([1, 2])
+    saver = results_mod.ResultSaver(
+        str(tmp_path / "masks"), "vid", dataset="d17-val",
+        object_manager=om, use_long_id=False, save_mask=False,
+        save_scores=True, score_output_root=str(tmp_path / "scores"))
+    prob = np.random.default_rng(0).random((3, 8, 8)).astype(np.float32)
+    saver.process(prob, "00000.png", last_frame=True)
+    saver.end()
+
+    vid_dir = tmp_path / "scores" / "vid"
+    assert (vid_dir / "00000.hkl").exists()
+    assert (vid_dir / "backward.hkl").exists()
+    loaded = np.asarray(results_mod.hickle.load(str(vid_dir / "00000.hkl")))
+    assert loaded.dtype == np.uint8
+    np.testing.assert_array_equal(loaded, (prob * 255).astype(np.uint8))
+    back = results_mod.hickle.load(str(vid_dir / "backward.hkl"))
+    assert set(int(k) for k in back) == {1, 2}
