@@ -1,9 +1,10 @@
 """Interactive GUI demo entry point.
 
 Behavioral parity target: reference interactive_demo.py:14-81 — argument
-parsing (images/video/workspace/num_objects), config composition, QApplication
-launch. Requires PySide6; the headless MainController (all of the logic) is
-importable without it.
+parsing (images/video/workspace/num_objects), config composition, window
+launch. Prefers PySide6 (gui/widgets.py); falls back to a stdlib-tkinter
+window with the same surface (gui/tk_widgets.py). The headless
+MainController (all of the logic) is importable without either.
 """
 import argparse
 import logging
@@ -55,18 +56,33 @@ def main():
         controller.close()
         return
 
-    from cutie_tpu.gui.widgets import HAS_QT, require_qt
-    require_qt()
-    from PySide6.QtWidgets import QApplication
+    from cutie_tpu.gui.widgets import HAS_QT
 
-    from cutie_tpu.gui.widgets import GUI
+    if HAS_QT:
+        from PySide6.QtWidgets import QApplication
 
-    app = QApplication(sys.argv)
-    gui = GUI(controller, cfg)
-    gui.show()
-    code = app.exec()
-    controller.close()
-    sys.exit(code)
+        from cutie_tpu.gui.widgets import GUI
+
+        app = QApplication(sys.argv)
+        gui = GUI(controller, cfg)
+        gui.show()
+        code = app.exec()
+        controller.close()
+        sys.exit(code)
+
+    # PySide6 unavailable: stdlib tkinter fallback with the same surface
+    from cutie_tpu.gui.tk_widgets import TkGUI, require_tk, tk_display_available
+
+    require_tk()
+    if not tk_display_available():
+        raise RuntimeError(
+            "No GUI backend can open a window: PySide6 is not installed and "
+            "tkinter found no X display ($DISPLAY unset / no X server). The "
+            "headless MainController exposes every operation programmatically;"
+            " tools/render_gui_session.py produces a software-rendered "
+            "session recording.")
+    gui = TkGUI(controller, cfg)
+    gui.mainloop()
 
 
 if __name__ == "__main__":

