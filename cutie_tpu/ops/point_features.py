@@ -19,10 +19,10 @@ over the oversampled uncertainty scores (~13 ms). Both are restructured:
     fp32 accumulation (weights are in [0,1]; ~0.4% relative rounding on one
     gradient path), elsewhere fp32-exact. `POINT_SAMPLE_EXACT_BWD` forces
     the fp32 path everywhere (parity tests).
-  * top-uncertainty selection uses the exact radix-select k-th threshold
-    (ops/memory.topk_threshold_radix) + cumsum/searchsorted compaction —
-    no sort, no scatter. Identical set to `lax.top_k` up to exact fp32
-    ties (first-by-index instead of sort-order).
+  * top-uncertainty selection is plain `lax.top_k`: a round-3 sort-free
+    variant (radix threshold + searchsorted compaction) lowered as serial
+    s32 while-loops costing ~470 ms/step — reverted in round 4 after a
+    fresh device trace.
 """
 from __future__ import annotations
 
@@ -37,33 +37,54 @@ POINT_SAMPLE_EXACT_BWD = False
 _BWD_CHUNK = 2048  # points per backward-matmul chunk ([N,C,chunk,W] interm.)
 
 
+# Maps at or below this pixel count sample via the separable-interpolation
+# matmul instead of a gather (the aux-loss logit maps are 30x30=900; the
+# round-4 train trace showed their XLA gathers costing ~95 ms/step while the
+# equivalent MXU contraction is <2 GFLOP).
+_SMALL_MAP_PIXELS = 4096
+
+
 def _point_sample_gather(input_map: jnp.ndarray,
                          point_coords: jnp.ndarray) -> jnp.ndarray:
     n, c, h, w = input_map.shape
     x = point_coords[..., 0] * w - 0.5  # [N, P]
     y = point_coords[..., 1] * h - 0.5
 
+    if h * w <= _SMALL_MAP_PIXELS:
+        # separable interpolation: out[n,c,p] = sum_hw Wy[p,h] Wx[p,w] v[c,h,w]
+        # (exactly the 4-corner bilinear blend — each weight row has <=2
+        # nonzeros; out-of-range rows are all-zero, reproducing zero padding)
+        wx = _axis_weights(x, w).astype(jnp.float32)  # [N, P, W]
+        wy = _axis_weights(y, h).astype(jnp.float32)  # [N, P, H]
+        tmp = jnp.einsum("nph,nchw->ncpw", wy, input_map.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("npw,ncpw->ncp", wx, tmp,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.astype(input_map.dtype)
+
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    dx = x - x0
-    dy = y - y0
+    dx = (x - x0)[:, None, :]
+    dy = (y - y0)[:, None, :]
 
-    def gather(yi, xi):
+    # one channels-minor gather for all 4 corners: rows of C contiguous
+    # elements, 4P rows — instead of 4 separate per-channel-broadcast
+    # gathers (XLA lowers those as 4x C times the rows)
+    im_rows = jnp.swapaxes(input_map.reshape(n, c, h * w), 1, 2)  # [N, HW, C]
+
+    def lin_idx(yi, xi):
         inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        # [N, C, P]
-        vals = jnp.take_along_axis(
-            input_map.reshape(n, c, h * w),
-            (yi_c * w + xi_c)[:, None, :], axis=2)
-        return vals * inside[:, None, :]
+        return yi_c * w + xi_c, inside
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    dx = dx[:, None, :]
-    dy = dy[:, None, :]
+    corners = [lin_idx(y0, x0), lin_idx(y0, x0 + 1),
+               lin_idx(y0 + 1, x0), lin_idx(y0 + 1, x0 + 1)]
+    idx = jnp.concatenate([i for i, _ in corners], axis=1)      # [N, 4P]
+    vals = jnp.take_along_axis(im_rows, idx[..., None], axis=1)  # [N, 4P, C]
+    v00, v01, v10, v11 = [
+        jnp.swapaxes(v, 1, 2) * corners[k][1][:, None, :]       # [N, C, P]
+        for k, v in enumerate(jnp.split(vals, 4, axis=1))]
     return (v00 * (1 - dx) * (1 - dy) + v01 * dx * (1 - dy) +
             v10 * (1 - dx) * dy + v11 * dx * dy)
 
@@ -182,16 +203,14 @@ def calculate_uncertainty(sem_seg_logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def _top_uncertain_indices(u: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Indices of the k most-uncertain points per row, sort-free.
-    u: [N, S] -> [N, k] int32. Exact same set as lax.top_k except on exact
-    fp32 ties at the k-th value (first-by-index wins)."""
-    from cutie_tpu.ops.memory import topk_threshold_radix
+    """Indices of the k most-uncertain points per row. u: [N, S] -> [N, k].
 
-    tau = topk_threshold_radix(u[:, None, :], min(k, u.shape[-1]))  # [N,1,1]
-    mask = u >= tau[:, 0]
-    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)   # [N, S] nondecreasing
-    want = jnp.arange(1, k + 1, dtype=jnp.int32)
-    idx = jax.vmap(lambda row: jnp.searchsorted(row, want, side="left"))(cs)
+    Plain lax.top_k. A round-3 "sort-free" variant (radix-select threshold +
+    vmap(searchsorted) compaction) turned out to lower the 9408-query
+    searchsorted as serial s32 while-loops costing ~470 ms/step on TPU —
+    36x the ~13 ms bitonic sort it replaced (round-4 device trace). The sort
+    is the fast path here."""
+    _, idx = jax.lax.top_k(u, min(k, u.shape[-1]))
     return idx.astype(jnp.int32)
 
 

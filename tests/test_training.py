@@ -31,30 +31,40 @@ def _tiny_data(b, t, hw, o, seed=0):
     }
 
 
-def test_point_sample_matches_torch_gridsample():
+@pytest.mark.parametrize("small_map_pixels", [4096, 0])
+def test_point_sample_matches_torch_gridsample(small_map_pixels, monkeypatch):
+    """Covers BOTH forward paths: the separable-matmul small-map path
+    (threshold 4096, default for this 9x13 map) and the channels-minor
+    4-corner gather path (threshold forced to 0)."""
     import torch
     import torch.nn.functional as F
 
-    from cutie_tpu.ops.point_features import point_sample
+    import cutie_tpu.ops.point_features as pf
 
+    monkeypatch.setattr(pf, "_SMALL_MAP_PIXELS", small_map_pixels)
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 3, 9, 13)).astype(np.float32)
-    coords = rng.uniform(size=(2, 50, 2)).astype(np.float32)
-    ours = np.asarray(point_sample(x, coords))
+    # include out-of-range points to exercise the zero-padding corners
+    coords = rng.uniform(-0.05, 1.05, size=(2, 50, 2)).astype(np.float32)
+    ours = np.asarray(pf.point_sample(x, coords))
     theirs = F.grid_sample(torch.tensor(x),
                            2.0 * torch.tensor(coords).unsqueeze(2) - 1.0,
                            align_corners=False).squeeze(3).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
 
 
-def test_point_sample_matmul_backward_matches_autodiff():
+@pytest.mark.parametrize("small_map_pixels", [4096, 0])
+def test_point_sample_matmul_backward_matches_autodiff(small_map_pixels,
+                                                       monkeypatch):
     """The custom scatter-free VJP (fp32 path on CPU) must match autodiff
-    of the plain gather implementation for both cotangents."""
+    of the plain forward implementation for both cotangents — under both
+    forward paths (separable matmul and 4-corner gather)."""
     import jax
     import jax.numpy as jnp
 
     import cutie_tpu.ops.point_features as pf
 
+    monkeypatch.setattr(pf, "_SMALL_MAP_PIXELS", small_map_pixels)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(3, 4, 17, 23)).astype(np.float32))
     # include out-of-range points to exercise the zero-padding corners
@@ -74,7 +84,7 @@ def test_point_sample_matmul_backward_matches_autodiff():
 
 
 def test_uncertain_point_selection_matches_topk():
-    """Radix + searchsorted selection picks the same index set as lax.top_k,
+    """Top-uncertainty selection picks the same index set as lax.top_k,
     and the sort-free uncertainty equals the top-2 margin."""
     import jax
     import jax.numpy as jnp

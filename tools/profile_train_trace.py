@@ -116,7 +116,42 @@ def summarize(trace_dir: str = TRACE_DIR, n_steps: int = 2):
         v[1] += int(a.get("model_flops", 0) or 0)
     flop_t = sum(v[0] for v in agg.values() if v[1] > 0)
     print(f"flop-op time {flop_t / 1e3:.0f} ms | "
-          f"zero-flop-op time {(total - flop_t) / 1e3:.0f} ms")
+          f"zero-flop-op time {(total - flop_t) / 1e3:.0f} ms "
+          f"({(total - flop_t) / total * 100:.0f}%)")
+
+    # category breakdown of the ZERO-flop time (where the copy tax lives)
+    def category(name, long_name):
+        base = name.lstrip("%").split(".")[0]
+        if base in ("copy", "copy-start", "copy-done"):
+            return "copy"
+        if base in ("transpose", "bitcast", "reshape"):
+            return base
+        if base in ("convert",):
+            return "convert"
+        if base.startswith(("all-reduce", "all-gather", "collective")):
+            return "collective"
+        if base in ("gather", "scatter", "dynamic-slice",
+                    "dynamic-update-slice", "select-and-scatter"):
+            return "gather/scatter"
+        if base in ("while", "conditional", "sort", "rng-bit-generator"):
+            return base
+        if base == "fusion":
+            ln = long_name or ""
+            for kw, cat in (("transpose(", "fused-transpose"),
+                            ("copy(", "fused-copy"),
+                            ("gather(", "fused-gather"),
+                            ("scatter(", "fused-scatter"),
+                            ("sort(", "fused-sort")):
+                if kw in ln:
+                    return cat
+            return "fusion(other)"
+        return base
+    zf = collections.Counter()
+    for n, (d, f, ln) in agg.items():
+        if f == 0:
+            zf[category(n, ln)] += d
+    for cat, d in zf.most_common(12):
+        print(f"  zero-flop {cat}: {d / 1e3:.0f} ms")
     buckets = collections.Counter()
     for _, (d, f, _) in agg.items():
         if f > 0:
