@@ -20,7 +20,15 @@ methodologies agree at steady state (the pipeline is one frame deep).
 Baseline: ~36 FPS for cutie-base at 480p on a 2080Ti-class GPU (paper
 number recorded in BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Weights: the synthetically TRAINED base weights (tests/golden/
+state_dict_base_trained.npz — same FLOPs as the unreachable release
+checkpoint), so the run is self-verifying: after timing, the committed
+480p golden stream (recorded from the reference torch implementation)
+is replayed and the min per-object cross-implementation IoU is reported
+as extra.xiou; the bench FAILS (exit 1) if it drops below 0.99.
+
+Prints ONE JSON line (last): {"metric", "value", "unit", "vs_baseline",
+"extra"}.
 """
 import json
 import os
@@ -153,13 +161,38 @@ def bench_click_latency(n_clicks: int = 5):
     return float(np.median(click_pass()))
 
 
+TRAINED_WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden",
+                               "state_dict_base_trained.npz")
+
+
+def verify_xiou() -> float:
+    """Correctness gate inside the bench (VERDICT r3 #3): replay the
+    committed 480p golden stream (recorded from the reference torch
+    implementation with the synthetically TRAINED base weights) and return
+    the min per-object cross-implementation IoU. Runs at matmul precision
+    'highest' like the parity gate so MXU bf16 rounding can't mask (or
+    fake) an implementation regression."""
+    import jax as _jax
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+    from tools.report_parity_480p import run_stream
+
+    with _jax.default_matmul_precision("highest"):
+        ious, _gt_ours, _gt_ref, _dt = run_stream("work", False, "trained")
+    return float(ious.min())
+
+
 def main():
     from cutie_tpu.utils.get_default_model import build_model
 
     frames, mask0 = synth_video(N_FRAMES, H, W)
 
+    # synthetic-TRAINED base weights (same FLOPs as the release checkpoint;
+    # lets the xIoU gate below verify the exact artifact being timed)
+    weights = TRAINED_WEIGHTS if os.path.exists(TRAINED_WEIGHTS) else None
     cfg = _bench_config("d17-val")
-    bundle = build_model(cfg, weights=None)  # random weights: same FLOPs
+    bundle = build_model(cfg, weights=weights)
     fps = bench_stream_fps(bundle, cfg, frames, mask0)
 
     extra = {}
@@ -171,14 +204,14 @@ def main():
         extra["lt_480p_3obj_fps"] = f"error: {e}"
     try:
         cfg_amp = _bench_config("d17-val", amp=True)
-        bundle_amp = build_model(cfg_amp, weights=None)
+        bundle_amp = build_model(cfg_amp, weights=weights)
         extra["amp_480p_3obj_fps"] = round(
             bench_stream_fps(bundle_amp, cfg_amp, frames, mask0), 3)
     except Exception as e:
         extra["amp_480p_3obj_fps"] = f"error: {e}"
     try:
         cfg_lt_amp = _bench_config("lvos-val", amp=True)
-        bundle_lt_amp = build_model(cfg_lt_amp, weights=None)
+        bundle_lt_amp = build_model(cfg_lt_amp, weights=weights)
         extra["lt_amp_480p_3obj_fps"] = round(
             bench_stream_fps(bundle_lt_amp, cfg_lt_amp, frames, mask0), 3)
     except Exception as e:
@@ -188,6 +221,13 @@ def main():
     except Exception as e:
         extra["click_latency_ms"] = f"error: {e}"
 
+    # correctness gate: FPS and masks from one artifact — a perf change that
+    # breaks numerics fails the bench instead of posting a green number
+    xiou = None
+    if os.path.exists(TRAINED_WEIGHTS):
+        xiou = verify_xiou()
+        extra["xiou"] = round(xiou, 5)
+
     print(json.dumps({
         "metric": "d17_480p_3obj_fps",
         "value": round(fps, 3),
@@ -195,6 +235,10 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "extra": extra,
     }))
+    if xiou is not None and xiou < 0.99:
+        print(f"BENCH CORRECTNESS GATE FAILED: min xIoU {xiou:.5f} < 0.99",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -575,6 +575,36 @@ def stream480_cfg(use_long_term: bool):
     })
 
 
+def _load_ref_base(trained: bool):
+    """Reference cutie-base with the committed golden state dict loaded
+    (trained -> tools/train_synthetic.py export; else conditioned-random)."""
+    import torch
+
+    model, _ = build_reference_model("base")  # installs sys.path + cfg stub
+    name = ("state_dict_base_trained.npz" if trained
+            else "state_dict_base.npz")
+    sd_npz = np.load(REPO / "tests" / "golden" / name)
+    sd = {k: torch.tensor(np.asarray(v, np.float32)) for k, v in sd_npz.items()}
+    if trained:
+        # resolve the GConv 'conv'-wrapper naming the exporter leaves
+        # ambiguous without template_keys (our flax GConv2d wraps its conv
+        # in a 'conv' submodule the torch modules don't have)
+        tkeys = set(model.state_dict().keys())
+        sd = {(k if k in tkeys
+               else re.sub(r"\.conv\.(weight|bias)$", r".\1", k)): v
+              for k, v in sd.items()}
+        # the exported dict omits num_batches_tracked counters and the PE
+        # inv_freq buffers (deterministic constants both sides recompute)
+        res = model.load_state_dict(sd, strict=False)
+        assert not res.unexpected_keys, res.unexpected_keys
+        assert all("inv_freq" in k or "num_batches_tracked" in k
+                   for k in res.missing_keys), res.missing_keys
+    else:
+        model.load_state_dict(sd, strict=True)
+    model.eval()
+    return model
+
+
 def gen_stream_480(out_dir, use_long_term: bool, tag: str, t: int,
                    trained: bool = False):
     """480p golden stream through the reference InferenceCore. Stores
@@ -593,34 +623,10 @@ def gen_stream_480(out_dir, use_long_term: bool, tag: str, t: int,
     (zero-egress environment, DNS resolution fails), so full-resolution
     parity is pinned against the reference implementation itself under
     realistic similarity ranges instead."""
-    import torch
-
-    model, _ = build_reference_model("base")  # installs sys.path + cfg stub
+    model = _load_ref_base(trained)
     from cutie.inference.inference_core import InferenceCore as RefCore
-
-    name = ("state_dict_base_trained.npz" if trained
-            else "state_dict_base.npz")
-    sd_npz = np.load(REPO / "tests" / "golden" / name)
-    sd = {k: torch.tensor(np.asarray(v, np.float32)) for k, v in sd_npz.items()}
     if trained:
-        # resolve the GConv 'conv'-wrapper naming the exporter leaves
-        # ambiguous without template_keys (our flax GConv2d wraps its conv
-        # in a 'conv' submodule the torch modules don't have)
-        tkeys = set(model.state_dict().keys())
-        sd = {(k if k in tkeys
-               else re.sub(r"\.conv\.(weight|bias)$", r".\1", k)): v
-              for k, v in sd.items()}
-    if trained:
-        # the exported dict omits num_batches_tracked counters and the PE
-        # inv_freq buffers (deterministic constants both sides recompute)
-        res = model.load_state_dict(sd, strict=False)
-        assert not res.unexpected_keys, res.unexpected_keys
-        assert all("inv_freq" in k or "num_batches_tracked" in k
-                   for k in res.missing_keys), res.missing_keys
         tag = f"{tag}_trained"
-    else:
-        model.load_state_dict(sd, strict=True)
-    model.eval()
 
     h, w = 480, 854
     cfg = stream480_cfg(use_long_term)
@@ -654,6 +660,70 @@ def gen_stream_480(out_dir, use_long_term: bool, tag: str, t: int,
     print(f"stream fixture: stream480_{tag}.npz")
 
 
+def gen_stream_480_variant(out_dir, variant: str, t: int = 12,
+                           trained: bool = True):
+    """Gate-broadening 480p streams (VERDICT r3 #8), trained base weights:
+
+      adddel — annotate {1,2} at frame 0, ADD object 3 (a second bucket)
+               with a GT idx-mask at frame 4, DELETE object 2 at frame 8
+               (the scripting_demo_add_del_objects.py:28-73 flow).
+      flip   — flip_aug=True work-memory stream.
+      resize — 960x1708 input frames with max_internal_size=480 (the core
+               resizes to 480x854 internally and returns internal-res prob,
+               inference_core.py:208-227).
+
+    Masks are recorded as OBJECT-id maps (tmp_to_obj_cls) so addition /
+    deletion keep ids comparable across implementations."""
+    import torch
+
+    model = _load_ref_base(trained)
+    from cutie.inference.inference_core import InferenceCore as RefCore
+
+    cfg = stream480_cfg(use_long_term=False)
+    h, w = 480, 854
+    if variant == "flip":
+        cfg["flip_aug"] = True
+    elif variant == "resize":
+        cfg["max_internal_size"] = 480
+        h, w = 960, 1708
+    else:
+        assert variant == "adddel"
+
+    frames, _ = synth_frames_480(t, h, w)
+    gt = synth_gt_masks_480(t, h, w)
+    mask0 = gt[0].astype(np.int64)
+    objects0 = [1, 2, 3]
+    if variant == "adddel":
+        mask0 = np.where(mask0 == 3, 0, mask0)  # object 3 arrives later
+        objects0 = [1, 2]
+
+    core = RefCore(model, cfg)
+    masks = []
+    with torch.no_grad():
+        for ti in range(t):
+            img = torch.tensor(frames[ti])
+            if ti == 0:
+                prob = core.step(img, torch.tensor(mask0), objects=objects0)
+            elif variant == "adddel" and ti == 4:
+                prob = core.step(img, torch.tensor(gt[4].astype(np.int64)),
+                                 objects=[1, 2, 3])
+            else:
+                if variant == "adddel" and ti == 8:
+                    core.delete_objects([2])
+                prob = core.step(img)
+            tmp_mask = torch.argmax(prob, dim=0)
+            obj_mask = core.object_manager.tmp_to_obj_cls(tmp_mask).numpy()
+            masks.append(obj_mask.astype(np.uint8))
+            print(f"  ref[{variant}] frame {ti}: fg px "
+                  f"{[int((obj_mask == o).sum()) for o in (1, 2, 3)]}")
+    tag = f"{variant}_trained" if trained else variant
+    np.savez_compressed(
+        out_dir / f"stream480_{tag}.npz",
+        mask0=mask0, masks=np.stack(masks), t=np.int64(t),
+        variant=np.str_(variant), h=np.int64(h), w=np.int64(w))
+    print(f"stream fixture: stream480_{tag}.npz")
+
+
 if __name__ == "__main__":
     if "--stream480" in sys.argv:
         out = REPO / "tests" / "golden"
@@ -662,5 +732,9 @@ if __name__ == "__main__":
                        trained=trained)
         gen_stream_480(out, use_long_term=True, tag="lt", t=26,
                        trained=trained)
+    elif "--stream480-variants" in sys.argv:
+        out = REPO / "tests" / "golden"
+        for variant in ("adddel", "flip", "resize"):
+            gen_stream_480_variant(out, variant, t=12, trained=True)
     else:
         main()

@@ -37,7 +37,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def build_core(use_long_term: bool, weights: str):
+def build_core(use_long_term: bool, weights: str, **overrides):
     import jax
     import jax.numpy as jnp
 
@@ -61,6 +61,7 @@ def build_core(use_long_term: bool, weights: str):
                       "min_mem_frames": 2, "num_prototypes": 64,
                       "max_num_tokens": 4000, "buffer_tokens": 1000},
     })
+    cfg.merge(overrides)
     model = CUTIE(cfg, dtype=jnp.float32)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                             jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2, 64, 64)))
@@ -107,6 +108,47 @@ def run_stream(tag: str, use_long_term: bool, weights: str):
               flush=True)
     dt = time.perf_counter() - t0
     return np.asarray(rows), np.asarray(gt_ours), np.asarray(gt_ref), dt
+
+
+def run_variant_stream(variant: str, weights: str = "trained"):
+    """Gate-broadening streams (VERDICT r3 #8): mid-video object addition +
+    deletion (bucketed reads), flip_aug, and max_internal_size resize —
+    driven exactly like tools/gen_golden.gen_stream_480_variant records the
+    reference side. Masks compared as OBJECT-id maps."""
+    from tools.gen_golden import synth_frames_480, synth_gt_masks_480
+
+    suffix = "_trained" if weights == "trained" else ""
+    rec = dict(np.load(REPO / f"tests/golden/stream480_{variant}{suffix}.npz"))
+    t, h, w = int(rec["t"]), int(rec["h"]), int(rec["w"])
+    frames, _ = synth_frames_480(t, h, w)
+    gt = synth_gt_masks_480(t, h, w)
+    mask0 = rec["mask0"].astype(np.int64)
+
+    overrides = {}
+    if variant == "flip":
+        overrides["flip_aug"] = True
+    elif variant == "resize":
+        overrides["max_internal_size"] = 480
+    core = build_core(use_long_term=False, weights=weights, **overrides)
+
+    rows = []
+    t0 = time.perf_counter()
+    for ti in range(t):
+        if ti == 0:
+            objects0 = [1, 2] if variant == "adddel" else [1, 2, 3]
+            prob = core.step(frames[ti], mask0, objects=objects0)
+        elif variant == "adddel" and ti == 4:
+            prob = core.step(frames[ti], gt[4].astype(np.int64),
+                             objects=[1, 2, 3])
+        else:
+            if variant == "adddel" and ti == 8:
+                core.delete_objects([2])
+            prob = core.step(frames[ti])
+        ours = core.object_manager.tmp_to_obj_cls(np.asarray(prob).argmax(0))
+        rows.append(_obj_ious(ours, rec["masks"][ti]))
+        print(f"{variant} frame {ti:2d}: xIoU "
+              + " ".join(f"{v:.4f}" for v in rows[-1]), flush=True)
+    return np.asarray(rows), time.perf_counter() - t0
 
 
 def main():
@@ -156,6 +198,27 @@ def main():
                    f"median {np.median(ious):.4f}, mean {ious.mean():.4f}; "
                    f"tracking gt-IoU mean ours {gt_ours.mean():.4f} "
                    f"vs reference {gt_ref.mean():.4f}")
+        out.append("")
+    for variant in ("adddel", "flip", "resize"):
+        suffix = "_trained" if args.weights == "trained" else ""
+        if not (REPO / f"tests/golden/stream480_{variant}{suffix}.npz").exists():
+            continue
+        ious, dt = run_variant_stream(variant, args.weights)
+        summary[variant] = ious
+        desc = {"adddel": "object addition at t=4 + deletion at t=8 "
+                          "(bucketed reads)",
+                "flip": "flip_aug=True",
+                "resize": "960x1708 input, max_internal_size=480"}[variant]
+        out.append(f"## {variant} stream ({ious.shape[0]} frames, {dt:.0f}s) "
+                   f"— {desc}")
+        out.append("")
+        out.append("| frame | xIoU o1 | xIoU o2 | xIoU o3 |")
+        out.append("|---|---|---|---|")
+        for ti, r in enumerate(ious):
+            out.append(f"| {ti} | {r[0]:.4f} | {r[1]:.4f} | {r[2]:.4f} |")
+        out.append("")
+        out.append(f"cross-impl IoU: min {ious.min():.4f}, "
+                   f"median {np.median(ious):.4f}, mean {ious.mean():.4f}")
         out.append("")
     (REPO / "docs" / "PARITY_480P.md").write_text("\n".join(out))
     print("wrote docs/PARITY_480P.md")
