@@ -246,6 +246,32 @@ def test_qt_offscreen_smoke(workspace):
     gui.close()
 
 
+def test_video_export_roundtrip(tmp_path):
+    """convert_frames_to_video writes a readable mp4 (PyAV h264 with real
+    bitrate control when av is importable, cv2 mp4v fallback otherwise —
+    reference gui/exporter.py:10-36)."""
+    import cv2
+
+    from cutie_tpu.gui import exporter
+
+    frames_dir = tmp_path / "vis"
+    os.makedirs(frames_dir)
+    rng = np.random.default_rng(0)
+    for ti in range(6):
+        arr = rng.integers(0, 255, size=(64, 96, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(frames_dir / f"{ti:05d}.png")
+    out = tmp_path / "out.mp4"
+    progress = []
+    ok = exporter.convert_frames_to_video(str(frames_dir), str(out), fps=10,
+                                          bitrate_mbps=2,
+                                          progress_callback=progress.append)
+    assert ok and out.exists() and out.stat().st_size > 1000
+    assert progress  # callback fired
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()
+
+
 def test_tk_window_smoke(workspace):
     """Constructs the real tkinter window when an X display is reachable
     (skipped otherwise — this environment ships no X server, see
