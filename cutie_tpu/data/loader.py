@@ -18,17 +18,16 @@ import numpy as np
 
 
 def collate(samples, pad_objects: Optional[int] = None) -> Dict[str, np.ndarray]:
-    """Stack per-sample dicts into a batch; build soft_gt one-hot for frames
-    1..T-1 (channels C = max_num_obj + 1, layout [B, T-1, C, H, W])."""
+    """Stack per-sample dicts into a batch. cls_gt ships as uint8 [B, T, H, W]
+    (4x less H2D than int32, 16x less than the one-hot soft_gt earlier rounds
+    uploaded — the loss now one-hot-encodes at the sampled points on device,
+    training/losses.py)."""
     out: Dict[str, np.ndarray] = {}
     out["frames"] = np.stack([s["rgb"] for s in samples])
     out["first_frame_gt"] = np.stack([s["first_frame_gt"] for s in samples])
     out["selector"] = np.stack([s["selector"] for s in samples])
-    cls_gt = np.stack([s["cls_gt"] for s in samples])  # [B, T, H, W]
-    out["cls_gt"] = cls_gt
-    num_classes = out["first_frame_gt"].shape[1] + 1
-    soft = np.eye(num_classes, dtype=np.float32)[cls_gt[:, 1:]]  # [B,T-1,H,W,C]
-    out["soft_gt"] = np.moveaxis(soft, -1, 2)  # [B, T-1, C, H, W]
+    out["cls_gt"] = np.stack(
+        [s["cls_gt"] for s in samples]).astype(np.uint8)  # [B, T, H, W]
     out["info"] = [s["info"] for s in samples]
     return out
 

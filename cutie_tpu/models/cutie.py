@@ -114,16 +114,21 @@ class CUTIE(nn.Module):
 
     def segment(self, ms_image_feat: List[jnp.ndarray], memory_readout: jnp.ndarray,
                 sensory: jnp.ndarray, *, selector: Optional[jnp.ndarray] = None,
-                update_sensory=True):
-        """-> (new_sensory, logits_fullres, prob_with_bg_fullres) (cutie.py:172-203)."""
+                update_sensory=True, return_low_logits: bool = False):
+        """-> (new_sensory, logits_fullres, prob_with_bg_fullres) (cutie.py:172-203).
+        return_low_logits additionally returns the PRE-upsample stride-4
+        aggregate logits — the training loss samples the virtual upsample
+        directly from them (ops/point_features.py:point_sample_upsampled)."""
         sensory, logits = self.mask_decoder(ms_image_feat, memory_readout, sensory,
                                             update_sensory=update_sensory)
         prob = nn.sigmoid(logits.astype(jnp.float32))
         if selector is not None:
             prob = prob * selector[..., None, None]
-        agg_logits = aggregate(prob, axis=1)  # [B, N+1, H4, W4]
-        agg_logits = self._upsample_logits(agg_logits)
+        agg_low = aggregate(prob, axis=1)  # [B, N+1, H4, W4]
+        agg_logits = self._upsample_logits(agg_low)
         prob = nn.softmax(agg_logits, axis=1)
+        if return_low_logits:
+            return sensory, agg_logits, prob, agg_low
         return sensory, agg_logits, prob
 
     @staticmethod

@@ -187,6 +187,155 @@ def _point_sample_bwd(res, g):
 point_sample.defvjp(_point_sample_fwd, _point_sample_bwd)
 
 
+_UP_CHUNK = 8192   # points per chunk of the composed-upsample sampler
+_CLS_CHUNK = 8192  # points per chunk of the class-map one-hot sampler
+
+
+def _up_axis_weights(t_up: jnp.ndarray, size_low: int,
+                     factor: int) -> jnp.ndarray:
+    """[..., P, size_low] fp32 weight rows for sampling a VIRTUAL `factor`x
+    half-pixel bilinear upsample (edge-clamped, torch F.interpolate
+    align_corners=False semantics — ops/resize.py:20-32) at up-space pixel
+    coords t_up, with the zero padding point_sample applies to points whose
+    up-space corners fall outside the map. The two interpolations compose
+    exactly: each row has <=4 taps on the LOW-res axis."""
+    c0 = jnp.floor(t_up)
+    dt = (t_up - c0)[..., None]
+    i = jnp.arange(size_low, dtype=t_up.dtype)
+
+    def corner_row(c):  # c: [..., P] integer-valued up-space corner index
+        valid = ((c >= 0) & (c < size_low * factor)).astype(t_up.dtype)
+        s = (c + 0.5) / factor - 0.5       # source coord of up pixel c
+        s0 = jnp.floor(s)
+        e = (s - s0)[..., None]
+        i0 = jnp.clip(s0, 0, size_low - 1)[..., None]   # edge clamp (both
+        i1 = jnp.clip(s0 + 1, 0, size_low - 1)[..., None]  # taps -> border px)
+        return valid[..., None] * ((i == i0) * (1.0 - e) + (i == i1) * e)
+
+    return corner_row(c0) * (1.0 - dt) + corner_row(c0 + 1.0) * dt
+
+
+def point_sample_upsampled(low_map: jnp.ndarray, point_coords: jnp.ndarray,
+                           factor: int) -> jnp.ndarray:
+    """point_sample(upsample_{factor}x(low_map), coords) WITHOUT materializing
+    the upsampled map and WITHOUT a gather: the composed per-axis weight rows
+    contract against the low-res map on the MXU (chunked over points to bound
+    the [N, C, chunk, w] intermediate).
+
+    Motivation: the reference upsamples stride-4 logits to full res
+    (cutie/model/cutie.py:200) and the loss point-samples the full-res map
+    (cutie/model/losses.py:54). XLA lowers that sample as a per-point row
+    gather costing ~20 ns/row — ~27 ms/step at production shapes (round-4
+    train trace) — while this exact reformulation is a few GFLOP of matmul.
+
+    low_map [N, C, h, w]; point_coords [N, P, 2] in [0,1] -> [N, C, P].
+    factor=1 degenerates to plain separable point_sample."""
+    n, c, h, w = low_map.shape
+    p = point_coords.shape[1]
+    x = point_coords[..., 0].astype(jnp.float32) * (w * factor) - 0.5
+    y = point_coords[..., 1].astype(jnp.float32) * (h * factor) - 0.5
+    m32 = low_map.astype(jnp.float32)
+
+    cs = min(_UP_CHUNK, p)
+    pp = -(-p // cs) * cs
+    if pp != p:  # pad with out-of-range points (sample to 0, then sliced off)
+        x = jnp.pad(x, ((0, 0), (0, pp - p)), constant_values=-10.0)
+        y = jnp.pad(y, ((0, 0), (0, pp - p)), constant_values=-10.0)
+    xc = x.reshape(n, -1, cs).transpose(1, 0, 2)  # [chunks, N, cs]
+    yc = y.reshape(n, -1, cs).transpose(1, 0, 2)
+
+    def chunk(xk_yk):
+        xk, yk = xk_yk
+        wx = _up_axis_weights(xk, w, factor)  # [N, cs, w]
+        wy = _up_axis_weights(yk, h, factor)  # [N, cs, h]
+        tmp = jnp.einsum("nph,nchw->ncpw", wy, m32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("npw,ncpw->ncp", wx, tmp,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.lax.map(chunk, (xc, yc))              # [chunks, N, C, cs]
+    out = jnp.moveaxis(out, 0, 2).reshape(n, c, pp)[:, :, :p]
+    return out.astype(low_map.dtype)
+
+
+def point_sample_cls_onehot(cls_map: jnp.ndarray, point_coords: jnp.ndarray,
+                            num_classes: int) -> jnp.ndarray:
+    """Exact equivalent of point_sample(one_hot(cls_map), coords) — the
+    bilinear zero-padded blend of the C-channel one-hot of an integer class
+    map — WITHOUT materializing the one-hot map and WITHOUT a gather.
+
+    The 4 corner CLASS VALUES are selected by exact 0/1 contractions: a
+    one-hot row matmul over H picks the two corner image rows (bf16 is exact
+    for 0/1 weights and small-integer class ids; each output element is a
+    sum of zeros plus one class value), then a one-hot mask-reduce over W
+    picks the corner columns on the VPU. Corners are one-hot encoded and
+    blended with the same fp32 weight expression as the gather path, so the
+    result is bit-identical to sampling the materialized one-hot.
+
+    Replaces the reference's soft_gt = cls_to_one_hot(...) + point_sample
+    (cutie/model/losses.py:53,75) whose XLA gather cost ~38 ms/step at
+    production shapes (round-4 train trace).
+
+    cls_map [N, H, W] integer; point_coords [N, P, 2] -> [N, num_classes, P]
+    float32."""
+    n, h, w = cls_map.shape
+    p = point_coords.shape[1]
+    x = point_coords[..., 0].astype(jnp.float32) * w - 0.5
+    y = point_coords[..., 1].astype(jnp.float32) * h - 0.5
+    cls_bf = cls_map.astype(jnp.bfloat16)  # exact for class ids < 256
+
+    cs = min(_CLS_CHUNK, p)
+    pp = -(-p // cs) * cs
+    if pp != p:
+        x = jnp.pad(x, ((0, 0), (0, pp - p)), constant_values=-10.0)
+        y = jnp.pad(y, ((0, 0), (0, pp - p)), constant_values=-10.0)
+    xc = x.reshape(n, -1, cs).transpose(1, 0, 2)
+    yc = y.reshape(n, -1, cs).transpose(1, 0, 2)
+    ih = jnp.arange(h, dtype=jnp.float32)
+    iw = jnp.arange(w, dtype=jnp.float32)
+    classes = jnp.arange(num_classes, dtype=jnp.float32)
+
+    def chunk(xk_yk):
+        xk, yk = xk_yk                      # [N, cs]
+        x0 = jnp.floor(xk)
+        y0 = jnp.floor(yk)
+        dx = xk - x0
+        dy = yk - y0
+
+        def rows_for(yr):  # [N, cs] -> exact class values [N, cs, w] f32
+            wy = (ih == yr[..., None]).astype(jnp.bfloat16)  # 0/1 exact
+            return jnp.einsum("nph,nhw->npw", wy, cls_bf,
+                              preferred_element_type=jnp.float32)
+
+        r0 = rows_for(y0)       # all-zero rows when y0 out of range
+        r1 = rows_for(y0 + 1.0)
+
+        def col(rows, xcol):    # corner class value [N, cs]
+            sel = (iw == xcol[..., None]).astype(jnp.float32)
+            return (rows * sel).sum(-1)
+
+        def valid(yi, xi):
+            return ((yi >= 0) & (yi < h) & (xi >= 0) &
+                    (xi < w)).astype(jnp.float32)
+
+        # same corner order and weight expression as _point_sample_gather
+        corners = [
+            (col(r0, x0), valid(y0, x0), (1 - dx) * (1 - dy)),
+            (col(r0, x0 + 1), valid(y0, x0 + 1), dx * (1 - dy)),
+            (col(r1, x0), valid(y0 + 1, x0), (1 - dx) * dy),
+            (col(r1, x0 + 1), valid(y0 + 1, x0 + 1), dx * dy),
+        ]
+        out = None
+        for val, v, wgt in corners:
+            onehot = (val[..., None] == classes).astype(jnp.float32)
+            term = onehot * (v * wgt)[..., None]        # [N, cs, C]
+            out = term if out is None else out + term
+        return jnp.moveaxis(out, -1, 1)                 # [N, C, cs]
+
+    out = jax.lax.map(chunk, (xc, yc))                  # [chunks, N, C, cs]
+    return jnp.moveaxis(out, 0, 2).reshape(n, num_classes, pp)[:, :, :p]
+
+
 def calculate_uncertainty(sem_seg_logits: jnp.ndarray) -> jnp.ndarray:
     """-(top1 - top2) logit margin (point_features.py:20-35). [N,C,P] -> [N,1,P].
     Sort-free: top1 via max, top2 via max with the first argmax masked (ties
@@ -217,13 +366,16 @@ def _top_uncertain_indices(u: jnp.ndarray, k: int) -> jnp.ndarray:
 def get_uncertain_point_coords_with_randomness(
         rng: jax.Array, coarse_logits: jnp.ndarray,
         uncertainty_func: Callable, num_points: int, oversample_ratio: float,
-        importance_sample_ratio: float) -> jnp.ndarray:
-    """(point_features.py:62-111). Returns [N, num_points, 2] coords in [0,1]."""
+        importance_sample_ratio: float,
+        sample_fn: Callable = point_sample) -> jnp.ndarray:
+    """(point_features.py:62-111). Returns [N, num_points, 2] coords in [0,1].
+    sample_fn customizes how coarse_logits are probed (e.g. a composed-
+    upsample sampler when the loss target is a virtual full-res map)."""
     n = coarse_logits.shape[0]
     num_sampled = int(num_points * oversample_ratio)
     k1, k2 = jax.random.split(rng)
     point_coords = jax.random.uniform(k1, (n, num_sampled, 2))
-    point_logits = point_sample(coarse_logits, point_coords)
+    point_logits = sample_fn(coarse_logits, point_coords)
     point_uncertainties = uncertainty_func(point_logits)  # [N,1,S]
     num_uncertain = int(importance_sample_ratio * num_points)
     num_random = num_points - num_uncertain

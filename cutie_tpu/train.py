@@ -228,10 +228,10 @@ def run_stage(cfg, stage_cfg, variables, run_path, logger):
     if skip_i > 0:
         loader = build_loader(max_skip_values[skip_i])
     def split_host_keys(data):
-        """Host-side extras (vis / bookkeeping) stay numpy; the rest uploads."""
+        """Host-side extras (bookkeeping) stay numpy. cls_gt uploads (the
+        loss samples it on device) — keep the host copy for vis grids."""
         data.pop("info", None)
-        cls_gt = data.pop("cls_gt", None)
-        return data, cls_gt, data.get("frames")
+        return data, data.get("cls_gt"), data.get("frames")
 
     try:
         while it < total_iter:

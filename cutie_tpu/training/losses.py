@@ -6,9 +6,25 @@ axis with a channel mask instead of python-slicing to num_objects — padded
 channels carry ~0 probability mass (selector-zeroed upstream), and the
 channel mask restores the reference's mean-over-valid-channels dice
 normalization.
+
+TPU restructuring (round 4): the reference samples the FULL-RES main logits
+(upsampled 4x in cutie/model/cutie.py:200) and a materialized one-hot soft_gt
+(losses.py:53-54) — XLA lowers both as per-point row gathers costing
+~65 ms/step at production shapes (round-4 device trace: 44% of step time was
+zero-FLOP ops, gathers the largest block). This module instead consumes the
+PRE-upsample stride-4 logits and the integer class map:
+
+  * main-head sampling runs on the low-res map through the exactly-composed
+    upsample+sample weights (ops/point_features.py:point_sample_upsampled);
+  * gt labels come from the class map through exact one-hot contractions
+    (point_sample_cls_onehot) — no one-hot materialization, no gather.
+
+Both are numerically the reference computation (identity-tested against
+torch grid_sample-of-interpolate in tests/test_training.py).
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -16,7 +32,9 @@ import jax.numpy as jnp
 
 from cutie_tpu.ops.point_features import (calculate_uncertainty,
                                           get_uncertain_point_coords_with_randomness,
-                                          point_sample)
+                                          point_sample,
+                                          point_sample_cls_onehot,
+                                          point_sample_upsampled)
 
 
 def ce_loss(logits: jnp.ndarray, soft_gt: jnp.ndarray) -> jnp.ndarray:
@@ -53,17 +71,27 @@ class LossComputer:
         self.sensory_weight = cfg.model.aux_loss.sensory.weight
         self.query_weight = cfg.model.aux_loss.query.weight
 
-    def mask_loss(self, rng, logits: jnp.ndarray, soft_gt: jnp.ndarray,
-                  ch_mask: jnp.ndarray):
-        """logits: [T, C, H, W]; soft_gt: [T, C, H, W]; ch_mask: [C-1]."""
+    def mask_loss(self, rng, logits: jnp.ndarray, cls_gt: jnp.ndarray,
+                  ch_mask: jnp.ndarray, up_factor: int = 1):
+        """logits: [T, C, h, w] at their NATIVE resolution; the sampling
+        target is the virtual `up_factor`x bilinear upsample (the reference
+        upsamples main logits 4x before sampling; aux heads sample native).
+        cls_gt: [T, H, W] integer class map."""
         assert self.point_supervision
+        num_classes = logits.shape[1]
+        if up_factor > 1:
+            sample = functools.partial(point_sample_upsampled,
+                                       factor=up_factor)
+        else:
+            sample = point_sample
         point_coords = jax.lax.stop_gradient(
             get_uncertain_point_coords_with_randomness(
                 rng, jax.lax.stop_gradient(logits), calculate_uncertainty,
                 self.num_points, self.oversample_ratio,
-                self.importance_sample_ratio))
-        point_labels = jax.lax.stop_gradient(point_sample(soft_gt, point_coords))
-        point_logits = point_sample(logits, point_coords)
+                self.importance_sample_ratio, sample_fn=sample))
+        point_labels = jax.lax.stop_gradient(
+            point_sample_cls_onehot(cls_gt, point_coords, num_classes))
+        point_logits = sample(logits, point_coords)
         loss_ce = ce_loss(point_logits, point_labels)
         loss_dice = dice_loss(jax.nn.softmax(point_logits, axis=1), point_labels,
                               ch_mask)
@@ -71,26 +99,28 @@ class LossComputer:
 
     def compute(self, rng, data: Dict[str, jnp.ndarray],
                 selector: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """data: {'logits': [B, T-1, C, H, W], 'soft_gt': [B, T-1, C, H, W],
-        'sensory_logits': optional, 'q_logits': [B, T-1, C, L, H, W] optional}.
+        """data: {'logits_low': [B, T-1, C, h, w] (stride-4, PRE-upsample),
+        'cls_gt': [B, T-1, H, W] integer, 'sensory_logits' optional,
+        'q_logits': [B, T-1, C, L, h, w] optional}.
         selector: [B, O] (C = O + 1). Vmapped over batch."""
-        b = data["logits"].shape[0]
+        b = data["logits_low"].shape[0]
         rngs = jax.random.split(rng, b)
         has_sensory = "sensory_logits" in data
         has_q = "q_logits" in data
         aux_keys = ([("sensory_logits",)] if has_sensory else []) + \
                    ([("q_logits",)] if has_q else [])
 
-        def per_seq(rng_i, logits, soft_gt, sel, *aux):
+        def per_seq(rng_i, logits_low, cls_gt, sel, *aux):
             losses = {}
             ch_mask = sel
             k = jax.random.split(rng_i, 8)
-            lc, ld = self.mask_loss(k[0], logits, soft_gt, ch_mask)
+            lc, ld = self.mask_loss(k[0], logits_low, cls_gt, ch_mask,
+                                    up_factor=4)
             losses["loss_ce"] = lc
             losses["loss_dice"] = ld
             ai = 0
             if has_sensory:
-                lc, ld = self.mask_loss(k[1], aux[ai], soft_gt, ch_mask)
+                lc, ld = self.mask_loss(k[1], aux[ai], cls_gt, ch_mask)
                 losses["aux_sensory_ce"] = lc * self.sensory_weight
                 losses["aux_sensory_dice"] = ld * self.sensory_weight
                 ai += 1
@@ -98,15 +128,15 @@ class LossComputer:
                 aux_q = aux[ai]
                 num_levels = aux_q.shape[2]
                 for l in range(num_levels):
-                    lc, ld = self.mask_loss(k[2 + l], aux_q[:, :, l], soft_gt,
+                    lc, ld = self.mask_loss(k[2 + l], aux_q[:, :, l], cls_gt,
                                             ch_mask)
                     losses[f"aux_query_ce_l{l}"] = lc * self.query_weight
                     losses[f"aux_query_dice_l{l}"] = ld * self.query_weight
             return losses
 
         aux_args = [data[k[0]] for k in aux_keys]
-        losses = jax.vmap(per_seq)(rngs, data["logits"], data["soft_gt"], selector,
-                                   *aux_args)
+        losses = jax.vmap(per_seq)(rngs, data["logits_low"], data["cls_gt"],
+                                   selector, *aux_args)
         losses = {k: v.mean() for k, v in losses.items()}
         losses["total_loss"] = sum(losses.values())
         return losses

@@ -27,7 +27,9 @@ def train_forward(model: CUTIE, variables: Dict[str, Any], data: Dict[str, jnp.n
       frames:         [B, T, H, W, 3] float in [0,1]
       first_frame_gt: [B, O, H, W] one-hot (padded object channels zero)
       selector:       [B, O] 1/0
-    returns {'logits': [B, T-1, O+1, H, W], 'aux_sensory_logits', 'aux_q_logits'}
+    returns {'logits': [B, T-1, O+1, H, W],
+             'logits_low': [B, T-1, O+1, H/4, W/4] (pre-upsample, loss-side),
+             'aux_sensory_logits', 'aux_q_logits'}
     """
     raw_apply = functools.partial(model.apply, variables)
     if stage_cfg.get("remat", False):
@@ -35,7 +37,12 @@ def train_forward(model: CUTIE, variables: Dict[str, Any], data: Dict[str, jnp.n
         # production sizes (B=16, 480^2, T=8) exceeds HBM without it
         # (jax.checkpoint trades recompute for memory)
         def apply(*args, method=None, **kwargs):
-            fn = lambda *a, **k: raw_apply(*a, method=method, **k)
+            # static python flags must bind in the closure — jax.checkpoint
+            # traces every runtime kwarg (a `if flag:` inside would see a
+            # tracer); traced kwargs (deep_update bernoulli) pass through
+            static = {k: kwargs.pop(k) for k in ("return_low_logits",)
+                      if k in kwargs}
+            fn = lambda *a, **k: raw_apply(*a, method=method, **static, **k)
             return jax.checkpoint(fn)(*args, **kwargs)
     else:
         apply = raw_apply
@@ -70,7 +77,7 @@ def train_forward(model: CUTIE, variables: Dict[str, Any], data: Dict[str, jnp.n
     msk_values = msk_val[:, :, None]          # [B, O, T_mem, h, w, Cv]
     obj_values = obj_val[:, :, None] if obj_val is not None else None
 
-    all_logits, all_sensory_logits, all_q_logits = [], [], []
+    all_logits, all_low, all_sensory_logits, all_q_logits = [], [], [], []
 
     for ti in range(1, seq_length):
         rng, k_ref, k_deep = jax.random.split(rng, 3)
@@ -94,9 +101,9 @@ def train_forward(model: CUTIE, variables: Dict[str, Any], data: Dict[str, jnp.n
             method="read_memory")
         aux_output = apply(pix_feat[:, ti], aux_input, selector,
                            method="compute_aux")
-        sensory, logits, prob = apply(
+        sensory, logits, prob, logits_low = apply(
             [f[:, ti] for f in ms_feat], readout_mem, sensory,
-            selector=selector, method="segment")
+            selector=selector, return_low_logits=True, method="segment")
         masks = prob[:, 1:]
 
         if ti < seq_length - 1:  # no need to encode the last frame
@@ -110,12 +117,14 @@ def train_forward(model: CUTIE, variables: Dict[str, Any], data: Dict[str, jnp.n
                                              axis=2)
 
         all_logits.append(logits)
+        all_low.append(logits_low)
         if "sensory_logits" in aux_output:
             all_sensory_logits.append(aux_output["sensory_logits"])
         if aux_output.get("q_logits") is not None:
             all_q_logits.append(aux_output["q_logits"])
 
-    out = {"logits": jnp.stack(all_logits, axis=1)}
+    out = {"logits": jnp.stack(all_logits, axis=1),
+           "logits_low": jnp.stack(all_low, axis=1)}
     if all_sensory_logits:
         out["sensory_logits"] = jnp.stack(all_sensory_logits, axis=1)
     if all_q_logits:

@@ -107,7 +107,8 @@ class Trainer:
             variables = {"params": params, "batch_stats": batch_stats}
             k_fwd, k_loss = jax.random.split(rng)
             out = train_forward(model, variables, data, k_fwd, stage_cfg)
-            loss_in = {"logits": out["logits"], "soft_gt": data["soft_gt"]}
+            loss_in = {"logits_low": out["logits_low"],
+                       "cls_gt": data["cls_gt"][:, 1:]}
             if "sensory_logits" in out:
                 loss_in["sensory_logits"] = out["sensory_logits"]
             if "q_logits" in out:
@@ -147,7 +148,8 @@ class Trainer:
     def do_pass(self, data: Dict[str, jnp.ndarray], it: int,
                 rng: jax.Array) -> Dict[str, jnp.ndarray]:
         """One optimization step. data must contain frames / first_frame_gt /
-        selector / soft_gt (host-built one-hot of cls_gt for frames 1..T-1)."""
+        selector / cls_gt ([B, T, H, W] integer class map; the loss derives
+        point labels from frames 1..T-1 on device — no host one-hot)."""
         if self.mesh is not None and not isinstance(data["frames"], jax.Array):
             from cutie_tpu.parallel.mesh import shard_batch
             data = shard_batch(self.mesh, data)

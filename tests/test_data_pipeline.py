@@ -91,9 +91,11 @@ def test_sharded_loader_determinism_and_collate(static_root):
     b2 = next(iter(loader.epoch(0)))
     np.testing.assert_array_equal(b1["frames"], b2["frames"])
     assert b1["frames"].shape == (2, 3, 32, 32, 3)
-    assert b1["soft_gt"].shape == (2, 2, 3, 32, 32)  # [B, T-1, O+1, H, W]
-    # soft_gt consistent with cls_gt
-    np.testing.assert_array_equal(b1["soft_gt"].argmax(2), b1["cls_gt"][:, 1:])
+    # cls_gt ships as a compact uint8 class map (device-side one-hot at the
+    # sampled points only — training/losses.py)
+    assert b1["cls_gt"].shape == (2, 3, 32, 32)
+    assert b1["cls_gt"].dtype == np.uint8
+    assert b1["cls_gt"].max() <= 2
     # two-process sharding partitions the global batch
     l0 = ShardedLoader(ds, batch_size=2, seed=7, process_index=0, process_count=2)
     l1 = ShardedLoader(ds, batch_size=2, seed=7, process_index=1, process_count=2)

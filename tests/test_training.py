@@ -21,13 +21,12 @@ def _tiny_stage(seq_length=3, num_objects=2):
 def _tiny_data(b, t, hw, o, seed=0):
     rng = np.random.default_rng(seed)
     cls_gt = rng.integers(0, o + 1, size=(b, t, hw, hw))
-    soft_gt = np.moveaxis(np.eye(o + 1, dtype=np.float32)[cls_gt[:, 1:]], -1, 2)
     first_gt = np.moveaxis(np.eye(o + 1, dtype=np.float32)[cls_gt[:, 0]], -1, 1)[:, 1:]
     return {
         "frames": rng.uniform(size=(b, t, hw, hw, 3)).astype(np.float32),
         "first_frame_gt": first_gt,
         "selector": np.ones((b, o), np.float32),
-        "soft_gt": soft_gt,
+        "cls_gt": cls_gt.astype(np.uint8),
     }
 
 
@@ -81,6 +80,51 @@ def test_point_sample_matmul_backward_matches_autodiff(small_map_pixels,
     g2 = jax.grad(loss_r, argnums=(0, 1))(x, coords)
     np.testing.assert_allclose(g1[0], g2[0], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(g1[1], g2[1], rtol=1e-4, atol=1e-3)
+
+
+def test_point_sample_upsampled_matches_sample_of_interpolate():
+    """point_sample_upsampled == grid_sample(F.interpolate(x, factor)) — the
+    composed-weight reformulation the loss uses for the main head must equal
+    the reference's upsample-then-sample (cutie/model/cutie.py:200 +
+    losses.py:54) exactly (fp32 tolerance)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    import cutie_tpu.ops.point_features as pf
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3, 9, 13)).astype(np.float32)
+    coords = rng.uniform(-0.05, 1.05, size=(2, 64, 2)).astype(np.float32)
+    for factor in (4, 2, 1):
+        up = F.interpolate(torch.tensor(x), scale_factor=factor,
+                           mode="bilinear", align_corners=False)
+        ref = F.grid_sample(up, 2.0 * torch.tensor(coords).unsqueeze(2) - 1.0,
+                            align_corners=False).squeeze(3).numpy()
+        ours = np.asarray(pf.point_sample_upsampled(
+            jnp.asarray(x), jnp.asarray(coords), factor))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_point_sample_cls_onehot_matches_onehot_gather():
+    """point_sample_cls_onehot == point_sample(one_hot(cls)) — the gather-free
+    gt-label path must reproduce the reference's cls_to_one_hot + point_sample
+    (cutie/model/losses.py:53,75) including zero padding at out-of-range
+    corners (which must NOT read as class 0)."""
+    import jax.numpy as jnp
+
+    import cutie_tpu.ops.point_features as pf
+
+    rng = np.random.default_rng(4)
+    for c in (3, 5):
+        cls = rng.integers(0, c, size=(2, 21, 17))
+        coords = rng.uniform(-0.05, 1.05, size=(2, 133, 2)).astype(np.float32)
+        onehot = np.moveaxis(np.eye(c, dtype=np.float32)[cls], -1, 1)
+        ref = np.asarray(pf._point_sample_gather(jnp.asarray(onehot),
+                                                 jnp.asarray(coords)))
+        ours = np.asarray(pf.point_sample_cls_onehot(
+            jnp.asarray(cls), jnp.asarray(coords), c))
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
 
 
 def test_uncertain_point_selection_matches_topk():

@@ -25,13 +25,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 def make_data(b, t, hw, o, seed=0):
     rng = np.random.default_rng(seed)
     cls_gt = rng.integers(0, o + 1, size=(b, t, hw, hw))
-    soft_gt = np.moveaxis(np.eye(o + 1, dtype=np.float32)[cls_gt[:, 1:]], -1, 2)
     first_gt = np.moveaxis(np.eye(o + 1, dtype=np.float32)[cls_gt[:, 0]], -1, 1)[:, 1:]
     return {
         "frames": rng.uniform(size=(b, t, hw, hw, 3)).astype(np.float32),
         "first_frame_gt": first_gt,
         "selector": np.ones((b, o), np.float32),
-        "soft_gt": soft_gt,
+        "cls_gt": cls_gt.astype(np.uint8),
     }
 
 

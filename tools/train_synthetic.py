@@ -62,10 +62,10 @@ def synth_batch(rng: np.random.Generator, b: int, t: int, h: int, w: int,
             frames[bi, ti] = np.round(f * 255.0) / 255.0
             cls_gt[bi, ti] = m
     eye = np.eye(n_obj + 1, dtype=np.float32)
-    soft_gt = np.moveaxis(eye[cls_gt[:, 1:]], -1, 2)       # [b,t-1,o+1,h,w]
     first_gt = np.moveaxis(eye[cls_gt[:, 0]], -1, 1)[:, 1:]  # [b,o,h,w]
     return {"frames": frames, "first_frame_gt": first_gt,
-            "selector": np.ones((b, n_obj), np.float32), "soft_gt": soft_gt}
+            "selector": np.ones((b, n_obj), np.float32),
+            "cls_gt": cls_gt.astype(np.uint8)}
 
 
 def main():
