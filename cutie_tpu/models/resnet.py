@@ -17,9 +17,69 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from jax import lax
+
 from cutie_tpu.models.layers import FrozenBatchNorm, conv2d, max_pool_3x3_s2
 
 Dtype = Any
+
+
+class FirstConv(nn.Module):
+    """The stem 7x7/stride-2/pad-3 conv, computed as fold-by-2 + 4x4 patch
+    im2col + ONE matmul instead of a strided conv.
+
+    Why: XLA lowers the strided 5-channel 480p conv (and especially its
+    transposed-conv input gradient, needed because the mask/others planes
+    carry gradients from earlier frames) as spatial-major data movement —
+    ~60 ms/step of the round-4 train trace, on an op worth <1 ms of FLOPs.
+    Folding H,W by 2 turns stride 2 into stride 1; concatenating the 16
+    shifted 4x4-window slices turns the conv into a dense [B,h,w,64*C] x
+    [64*C,64] matmul whose forward AND backward are MXU matmuls.
+
+    Exact reformulation of the reference stem (resnet.py:29-33 conv1):
+    out[i,j] = sum_{di,dj} x[2i+di-3, 2j+dj-3] K[di,dj]; with x folded as
+    xf[p,q,(a,b,c)] = x[2p+a, 2q+b], the window becomes dp=p-i in [-2,1]
+    (4 taps), and K regrouped as K4[dp,dq,a,b] = K7[2dp+a-1, 2dq+b-1]
+    (zero where the index falls outside [0,6]).
+
+    Param tree matches nn.Conv exactly ('kernel' [7,7,C,64], no bias) so
+    weight import and the golden fixtures are unchanged.
+    """
+    features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, c_in, self.features), jnp.float32)
+        b, h, w, _ = x.shape
+        if h % 2 or w % 2:  # odd sizes: plain conv (all encode paths pad
+            # to a multiple of 16 upstream — ops/tensor_utils.py)
+            return lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        # K7 [7,7,C,O] -> zero-pad one leading row/col (di = 2dp+a-1 hits -1
+        # at dp=a=0) -> [8,8,C,O] -> [dp,a,dq,b,C,O] -> [dp,dq,a,b,C,O]
+        k4 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = k4.reshape(4, 2, 4, 2, c_in, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(64 * c_in, self.features)
+
+        xf = x.reshape(b, h // 2, 2, w // 2, 2, c_in)
+        xf = xf.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
+                                                    4 * c_in)
+        # 16 shifted slices of the folded map, offsets dp,dq in [-2,1]
+        xfp = jnp.pad(xf, ((0, 0), (2, 1), (2, 1), (0, 0)))
+        patches = jnp.concatenate(
+            [lax.slice(xfp, (0, dp, dq, 0),
+                       (b, dp + h // 2, dq + w // 2, 4 * c_in))
+             for dp in range(4) for dq in range(4)], axis=-1)
+        out = jnp.einsum("bhwk,ko->bhwo", patches.astype(self.dtype),
+                         k4.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        return out.astype(self.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -87,8 +147,7 @@ class ResNetTrunk(nn.Module):
         else:
             raise NotImplementedError(self.variant)
 
-        x = conv2d(64, 7, stride=2, padding=3, use_bias=False, dtype=self.dtype,
-                   name="conv1")(x)
+        x = FirstConv(64, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
