@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from cutie_tpu.config import Config
 from cutie_tpu.models.layers import (GroupFeatureFusionBlock, MaskUpsampleBlock,
-                                     SensoryDeepUpdater, SensoryUpdater, conv2d, distribute,
+                                     SensoryDeepUpdater, SensoryUpdater, conv2d,
                                      flatten_group, unflatten_group)
 from cutie_tpu.models.resnet import ResNetTrunk
 
@@ -78,14 +78,16 @@ class MaskEncoder(nn.Module):
         """
         cfg = self.model_cfg
         if self.single_object:
-            g = masks[..., None]
+            planes = masks[..., None]
         else:
-            g = jnp.stack([masks, others], axis=-1)
-        g = distribute(image, g, method="cat")  # [B, N, H0, W0, 3+extra]
-
-        flat, bn = flatten_group(g)
+            planes = jnp.stack([masks, others], axis=-1)
+        # channel-split stem: the trunk conv1 consumes the shared image and
+        # the per-object planes separately (StemConv) — the reference's
+        # [B, N, H0, W0, 3+extra] broadcast+concat (big_modules.py:128-131
+        # via the distributor) is never materialized.
+        bn = (planes.shape[0], planes.shape[1])
         f4, f8, f16 = ResNetTrunk(cfg.mask_encoder.type, dtype=self.dtype,
-                                  name="trunk")(flat)
+                                  name="trunk")(image, planes)
         del f4, f8
         g16 = unflatten_group(f16, bn)
         g16 = GroupFeatureFusionBlock(cfg.pixel_dim, cfg.mask_encoder.final_dim,

@@ -83,23 +83,16 @@ class FrozenBatchNorm(nn.Module):
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
     """MaxPool2d(kernel=3, stride=2, padding=1) parity.
 
-    Computed as the max of the 9 shifted stride-2 slices rather than
-    lax.reduce_window: forward is the identical max, but the backward
-    becomes fused selects instead of select-and-scatter — the
-    select-and-scatter lowering was ~0.1 TF/s-class data movement in the
-    round-4 train trace (~6 ms/step per trunk at 480p)."""
-    n, h, w, c = x.shape
-    ho, wo = (h + 1) // 2, (w + 1) // 2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                 constant_values=-jnp.inf)
-    out = None
-    for di in range(3):
-        for dj in range(3):
-            s = lax.slice(xp, (0, di, dj, 0),
-                          (n, di + 2 * ho - 1, dj + 2 * wo - 1, c),
-                          (1, 2, 2, 1))
-            out = s if out is None else jnp.maximum(out, s)
-    return out
+    Deliberately reduce_window: a max-of-9-shifted-slices variant was
+    tried (round 4) to avoid the select-and-scatter backward, but its
+    backward lowers to nine interior-dilated pads at the UNPOOLED
+    resolution (~4 ms each at 480p trunk scale) — 6x worse than
+    select-and-scatter. Measured, not guessed: train step 322 -> 554
+    ms/step."""
+    return lax.reduce_window(x, -jnp.inf, lax.max,
+                             window_dimensions=(1, 3, 3, 1),
+                             window_strides=(1, 2, 2, 1),
+                             padding=((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
 class CAResBlock(nn.Module):

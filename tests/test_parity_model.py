@@ -189,3 +189,34 @@ def test_resnet50_trunk_parity():
                                atol=3e-4)
     assert_close(np.asarray(f16), to_nhwc(raw["f16"]), rtol=2e-3,
                                atol=5e-4)
+
+
+def test_stem_matmul_form_exact():
+    """The TPU fold-4 matmul stem (fwd + both grads all MXU matmuls,
+    resnet.py:_stem_conv_planes) must match the plain strided conv it
+    reformulates to fp accuracy — it only runs on real hardware (StemConv
+    gates it off-CPU for golden bit-stability), so pin it directly here."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutie_tpu.models.resnet import _stem_conv_plain, _stem_conv_planes
+
+    rng = np.random.default_rng(7)
+    for c_in, hw in ((3, 64), (5, 48), (4, 32)):
+        x = jnp.asarray(rng.standard_normal((2, hw, hw, c_in)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((7, 7, c_in, 64)) * 0.1,
+                        jnp.float32)
+        ref = _stem_conv_plain(x, k, jnp.float32)
+        got = _stem_conv_planes(x, k, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    # gradients route through the same reformulation: check the VJP too
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 5)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((7, 7, 5, 64)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((1, 16, 16, 64)), jnp.float32)
+    g_ref = jax.vjp(lambda a, b: _stem_conv_plain(a, b, jnp.float32), x, k)[1](ct)
+    g_got = jax.vjp(lambda a, b: _stem_conv_planes(a, b, jnp.float32), x, k)[1](ct)
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
