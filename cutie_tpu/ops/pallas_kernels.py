@@ -154,7 +154,7 @@ def _invert_order_key(k: jnp.ndarray) -> jnp.ndarray:
 
 def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
                        out_ref, usage_ref, key_ref, v_scratch, dma_sem, *,
-                       top_k, bn, n_chunks, ck):
+                       top_k, bn, n_chunks, ck, gbits):
     """Exact top-k softmax readout with the [BP, N] similarity VMEM-resident.
 
     pass 1: similarity -> order-preserving uint32 keys into VMEM scratch
@@ -191,27 +191,45 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
 
     jax.lax.fori_loop(0, n_chunks, p1, 0)
 
-    # ---- pass 2: radix-select the exact k-th largest per query
+    # ---- pass 2: radix-select the exact k-th largest per query.
+    # Bits can resolve in groups of `gbits` per sweep over the resident
+    # keys (counting all 2^g - 1 candidate extensions from one read; cnt
+    # is non-increasing in the extension value x with cnt(prefix) >= k as
+    # the loop invariant, so the resolved group value is
+    # #{x >= 1 : cnt_x >= k} — bit-exact same threshold as bit-by-bit).
+    # MEASURED on-chip (tools/probe_radix_variants.py, LT scale): g=4 is
+    # ~1.7x SLOWER than g=1 (13.2 vs 7.8 ms bf16) — the keys are already
+    # VMEM-resident, so the select is VPU-compare-bound, not load-bound,
+    # and grouping multiplies compares 15/4x. Default stays g=1; the
+    # parameter remains for the probe tool and exactness tests.
     kk = jnp.int32(top_k)
+    n_cand = (1 << gbits) - 1
 
-    def bit_step(i, prefix):
-        bit = jnp.uint32(1) << (31 - i).astype(jnp.uint32)
-        cand = prefix | bit
+    def group_step(i, prefix):
+        shift = (32 - gbits - i * gbits).astype(jnp.uint32)
+        cands = [prefix | (jnp.uint32(x + 1) << shift)
+                 for x in range(n_cand)]
 
         # chunked count keeps live VMEM-stack values at [BP, BN] — a full
         # [BP, N] keys array on the stack OOMs scoped VMEM at production
         # LT sizes (28.8 MB at N=28160, block_p=256)
-        def count_chunk(ci, cnt):
+        def count_chunk(ci, cnts):
             keys_c = key_ref[:, pl.ds(ci * bn, bn)]
             # int32 count: Mosaic has no unsigned reductions
-            return cnt + jnp.sum((keys_c >= cand).astype(jnp.int32), axis=1,
-                                 keepdims=True)
+            return tuple(
+                cnts[x] + jnp.sum((keys_c >= cands[x]).astype(jnp.int32),
+                                  axis=1, keepdims=True)
+                for x in range(n_cand))
 
-        cnt = jax.lax.fori_loop(0, n_chunks, count_chunk,
-                                jnp.zeros((bp, 1), jnp.int32))
-        return jnp.where(cnt >= kk, cand, prefix)
+        cnts = jax.lax.fori_loop(
+            0, n_chunks, count_chunk,
+            tuple(jnp.zeros((bp, 1), jnp.int32) for _ in range(n_cand)))
+        v = jnp.zeros((bp, 1), jnp.uint32)
+        for x in range(n_cand):
+            v = v + (cnts[x] >= kk).astype(jnp.uint32)
+        return prefix | (v << shift)
 
-    tau_key = jax.lax.fori_loop(0, 32, bit_step,
+    tau_key = jax.lax.fori_loop(0, 32 // gbits, group_step,
                                 jnp.zeros((bp, 1), jnp.uint32))
 
     # ---- pass 3: masked-softmax readout (values DMA'd per chunk)
@@ -244,10 +262,24 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, v_hbm,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
-            acc = acc + jax.lax.dot_general(
-                w, v_scratch[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            # Manual bf16x3: split each fp32 operand into a bf16 hi part
+            # plus a bf16 residual and take the three significant cross
+            # products on the MXU's native bf16 path (fp32 accumulate).
+            # ~1e-6 relative on this convex combination (weights <= 1) —
+            # within the fp32 summation-order noise the read already
+            # carries — at HALF the MXU passes of a HIGHEST fp32 dot
+            # (6-pass decomposition), which dominated the fp32 kernel at
+            # LT sizes (round-4 probe: 11.0 ms/read vs 7.8 bf16). Manual
+            # because Mosaic rejects lax.Precision.HIGH outright.
+            v32 = v_scratch[:]
+            w_hi = w.astype(jnp.bfloat16)
+            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            v_hi = v32.astype(jnp.bfloat16)
+            v_lo = (v32 - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            for a_op, b_op in ((w_hi, v_hi), (w_hi, v_lo), (w_lo, v_hi)):
+                acc = acc + jax.lax.dot_general(
+                    a_op, b_op, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         return acc, z
 
     acc, z = jax.lax.fori_loop(
@@ -272,7 +304,7 @@ def radix_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
                        qk: jnp.ndarray, qe: jnp.ndarray, values: jnp.ndarray,
                        top_k: int, *, block_p: int = 256, block_n: int = 512,
                        vmem_limit_bytes: int = 100 * 1024 * 1024,
-                       value_dtype=jnp.float32,
+                       value_dtype=jnp.float32, group_bits: int = 1,
                        interpret: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused exact memory read for ONE batch row, radix-select variant.
@@ -297,13 +329,14 @@ def radix_topk_readout(mk: jnp.ndarray, ms: jnp.ndarray, valid: jnp.ndarray,
     p = qk.shape[0]
     o, _, cv = values.shape
     assert n % block_n == 0 and p % block_p == 0, (n, p, block_n, block_p)
+    assert 32 % group_bits == 0, group_bits
     n_chunks = n // block_n
     grid = (p // block_p,)
 
     v2 = jnp.transpose(values, (1, 0, 2)).reshape(n, o * cv)
 
     kernel = functools.partial(_radix_read_kernel, top_k=top_k, bn=block_n,
-                               n_chunks=n_chunks, ck=ck)
+                               n_chunks=n_chunks, ck=ck, gbits=group_bits)
     out, usage = pl.pallas_call(
         kernel,
         grid=grid,

@@ -87,8 +87,13 @@ def test_radix_topk_readout_matches_xla():
                          valid=jnp.asarray(valid)[None])
     aff, use_ref = topk_softmax(sim, k, return_usage=True)
     rd_ref = readout(aff, jnp.asarray(vals)[None])[0]
+    # fp32 mode reads out via a manual two-part bf16 split (3 MXU passes):
+    # each operand carries ~2^-17 representation error from rounding its
+    # bf16 residual, so the contraction is good to ~3e-5 relative — half
+    # the passes of a HIGHEST fp32 dot, measured 16% faster at LT scale
+    # (tools/probe_radix_variants.py).
     np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_ref),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(usage), np.asarray(use_ref[0]),
                                rtol=1e-5, atol=1e-5)
 
@@ -121,7 +126,7 @@ def test_radix_topk_readout_padded_queries():
     aff, use_ref = topk_softmax(sim, k, return_usage=True)
     rd_ref = readout(aff, jnp.asarray(vals)[None])[0]
     np.testing.assert_allclose(np.asarray(rd)[:, :p], np.asarray(rd_ref),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-5)  # bf16x3 readout, above
     np.testing.assert_allclose(np.asarray(usage), np.asarray(use_ref[0]),
                                rtol=1e-5, atol=1e-5)
 
