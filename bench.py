@@ -48,6 +48,15 @@ H, W = 480, 854
 N_FRAMES = 60
 N_OBJECTS = 3
 
+_T0 = time.perf_counter()
+
+
+def _stage(msg: str):
+    """Stage progress on stderr (stdout stays one JSON line) so a timeout
+    in a driver run pinpoints which stage stalled."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def synth_video(t, h, w, seed=0):
     """uint8 HWC frames (the fast input path: decode-native layout)."""
@@ -184,6 +193,11 @@ def verify_xiou() -> float:
 
 
 def main():
+    if os.environ.get("CUTIE_BENCH_WATCHDOG"):
+        import faulthandler
+        faulthandler.enable()
+        faulthandler.dump_traceback_later(
+            int(os.environ["CUTIE_BENCH_WATCHDOG"]), repeat=True)
     from cutie_tpu.utils.get_default_model import build_model
 
     frames, mask0 = synth_video(N_FRAMES, H, W)
@@ -193,7 +207,9 @@ def main():
     weights = TRAINED_WEIGHTS if os.path.exists(TRAINED_WEIGHTS) else None
     cfg = _bench_config("d17-val")
     bundle = build_model(cfg, weights=weights)
+    _stage("d17 fp32 stream...")
     fps = bench_stream_fps(bundle, cfg, frames, mask0)
+    _stage(f"d17 fp32 done: {fps:.1f} FPS")
 
     extra = {}
     try:  # secondary metrics must never sink the headline
@@ -202,6 +218,7 @@ def main():
             bench_stream_fps(bundle, cfg_lt, frames, mask0), 3)
     except Exception as e:
         extra["lt_480p_3obj_fps"] = f"error: {e}"
+    _stage(f"lt fp32 done: {extra['lt_480p_3obj_fps']}")
     try:
         cfg_amp = _bench_config("d17-val", amp=True)
         bundle_amp = build_model(cfg_amp, weights=weights)
@@ -209,6 +226,7 @@ def main():
             bench_stream_fps(bundle_amp, cfg_amp, frames, mask0), 3)
     except Exception as e:
         extra["amp_480p_3obj_fps"] = f"error: {e}"
+    _stage(f"d17 amp done: {extra['amp_480p_3obj_fps']}")
     try:
         cfg_lt_amp = _bench_config("lvos-val", amp=True)
         bundle_lt_amp = build_model(cfg_lt_amp, weights=weights)
@@ -216,17 +234,21 @@ def main():
             bench_stream_fps(bundle_lt_amp, cfg_lt_amp, frames, mask0), 3)
     except Exception as e:
         extra["lt_amp_480p_3obj_fps"] = f"error: {e}"
+    _stage(f"lt amp done: {extra['lt_amp_480p_3obj_fps']}")
     try:
         extra["click_latency_ms"] = round(bench_click_latency() * 1000, 1)
     except Exception as e:
         extra["click_latency_ms"] = f"error: {e}"
+    _stage(f"click done: {extra['click_latency_ms']}")
 
     # correctness gate: FPS and masks from one artifact — a perf change that
     # breaks numerics fails the bench instead of posting a green number
     xiou = None
     if os.path.exists(TRAINED_WEIGHTS):
+        _stage("xiou correctness gate...")
         xiou = verify_xiou()
         extra["xiou"] = round(xiou, 5)
+    _stage("done")
 
     print(json.dumps({
         "metric": "d17_480p_3obj_fps",

@@ -242,6 +242,13 @@ def load_weights_npz(path: str) -> Dict[str, Any]:
     flat = dict(np.load(path))
     tree: Dict[str, Any] = {}
     for k, v in flat.items():
+        if v.dtype == np.float16:
+            # fp16 is a STORAGE format (tools/train_synthetic.py halves the
+            # committed artifact); params are logically fp32. Loading f16
+            # leaves verbatim would trace the whole model in IEEE half —
+            # numerically different from every golden stream and, on TPU,
+            # an XLA compile that emulates f16 and takes tens of minutes.
+            v = v.astype(np.float32)
         node = tree
         parts = k.split("/")
         for p in parts[:-1]:
