@@ -192,12 +192,36 @@ def verify_xiou() -> float:
     return float(ious.min())
 
 
+def quick():
+    """Landing gate for hot-path commits (VERDICT r4 #2): ONE config
+    (d17 fp32, trained weights), a short stream, ~2 min warm-cache on the
+    tunnel. Policy (PARITY.md §timing): every commit touching ops/,
+    models/resnet.py, models/layers.py, or inference/steps.py quotes this
+    output in its commit message. Usage: python bench.py --quick"""
+    from cutie_tpu.utils.get_default_model import build_model
+
+    n = 16
+    frames, mask0 = synth_video(n, H, W)
+    weights = TRAINED_WEIGHTS if os.path.exists(TRAINED_WEIGHTS) else None
+    cfg = _bench_config("d17-val")
+    bundle = build_model(cfg, weights=weights)
+    _stage("quick d17 fp32 stream...")
+    fps = bench_stream_fps(bundle, cfg, frames, mask0)
+    print(json.dumps({"metric": "quick_d17_480p_3obj_fps",
+                      "value": round(fps, 3), "unit": "fps",
+                      "vs_baseline": round(fps / BASELINE_FPS, 3),
+                      "extra": {"frames": n}}))
+
+
 def main():
     if os.environ.get("CUTIE_BENCH_WATCHDOG"):
         import faulthandler
         faulthandler.enable()
         faulthandler.dump_traceback_later(
             int(os.environ["CUTIE_BENCH_WATCHDOG"]), repeat=True)
+    if "--quick" in sys.argv:
+        quick()
+        return
     from cutie_tpu.utils.get_default_model import build_model
 
     frames, mask0 = synth_video(N_FRAMES, H, W)

@@ -166,7 +166,9 @@ class StemConv(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, self.in_channels, self.features),
                             jnp.float32)
-        fast = jax.default_backend() == "tpu"
+        import os
+        fast = (jax.default_backend() == "tpu"
+                and os.environ.get("CUTIE_TPU_FAST_STEM", "1") != "0")
 
         def stem(inp, kern):
             # the matmul form also beats lax.conv for the image stems:

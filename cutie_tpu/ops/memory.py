@@ -157,7 +157,15 @@ def _float_order_key(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((b >> 31) == 0, b | jnp.uint32(0x80000000), ~b)
 
 
-RADIX_GROUP_BITS = 4  # bits resolved per pass over the keys (see below)
+import os
+# Bits resolved per pass over the keys. Measured on one v5e (2026-08-20,
+# tools/bisect_r4.py, 60-frame steady-state d17 stream, trained weights):
+# g=1 (32 single-candidate passes) 8.0 ms/frame = 124.8 FPS; g=4 (8 passes
+# x 15 fused candidate counts) 8.9 ms/frame = 112.1 FPS — the grouped form
+# reads the keys fewer times but its 15-way fused compare+count lowers
+# worse than four sequential single compares, so single-bit stays default.
+# (The Pallas LT kernel takes its own group_bits parameter.)
+RADIX_GROUP_BITS = int(os.environ.get("CUTIE_TPU_RADIX_GROUP_BITS", "1"))
 
 
 def topk_threshold_radix(similarity: jnp.ndarray, top_k: int) -> jnp.ndarray:

@@ -76,7 +76,8 @@ def load_is_model(checkpoint_path: Optional[str], **model_overrides):
                                 jnp.full((1, 2, 3), -1.0))
         zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
         variables = convert_ritm_state_dict(sd, zeros, strict=False)
-        return model, variables
+        # device-commit once: numpy leaves re-upload per jitted click
+        return model, jax.device_put(variables)
 
     if params:
         for k in ("width", "ocr_width", "small", "with_prev_mask", "use_disks",
@@ -92,7 +93,9 @@ def load_is_model(checkpoint_path: Optional[str], **model_overrides):
                             jnp.full((1, 2, 3), -1.0))
     zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
     if sd is not None:
-        variables = convert_ritm_state_dict(sd, zeros, strict=False)
+        # device-commit once: numpy leaves re-upload per jitted click
+        variables = jax.device_put(convert_ritm_state_dict(sd, zeros,
+                                                           strict=False))
     else:
         variables = dict(model.init(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 64, 64, c_in)),

@@ -69,6 +69,7 @@ def build_model(cfg: Config, weights: Optional[str] = None,
                                                    convert_torch_state_dict,
                                                    load_torch_checkpoint)
 
+        variables = None
         if weights.endswith(".npz"):
             sd = dict(np.load(weights))
             if any(k.startswith(("params/", "batch_stats/")) for k in sd):
@@ -76,22 +77,28 @@ def build_model(cfg: Config, weights: Optional[str] = None,
                 # routing it through the torch converter would match zero
                 # keys and silently produce a garbage model
                 from cutie_tpu.training.trainer import load_weights_npz
-                return ModelBundle(model=model,
-                                   variables=load_weights_npz(weights),
-                                   cfg=cfg)
+                variables = load_weights_npz(weights)
         else:
             sd = load_torch_checkpoint(weights)
-        sd = apply_object_surgery(sd, single_object, cfg.model.sensory_dim,
-                                  cfg.model.value_dim)
-        # unmapped keys fall back to a REAL initialization (strict=False):
-        # an eval_shape zeros tree would silently zero-fill any param the
-        # key mapping misses (and zero BN variance)
-        targets = init_variables(model)
-        variables = convert_torch_state_dict(sd, targets, strict=False)
+        if variables is None:
+            sd = apply_object_surgery(sd, single_object, cfg.model.sensory_dim,
+                                      cfg.model.value_dim)
+            # unmapped keys fall back to a REAL initialization (strict=False):
+            # an eval_shape zeros tree would silently zero-fill any param the
+            # key mapping misses (and zero BN variance)
+            targets = init_variables(model)
+            variables = convert_torch_state_dict(sd, targets, strict=False)
     else:
         if weights:
             log.warning("Weights %s not found; using random init.", weights)
         variables = init_variables(model)
+    # Commit the variables to the device ONCE. The weight converters return
+    # host numpy pytrees; leaving them as numpy makes every jitted step call
+    # re-upload the full ~140MB parameter set (round 4's bench collapse:
+    # 3.5 s/frame over the dev tunnel — 0.3 FPS in BENCH_r04.json — was
+    # exactly this transfer, not compute; random-init models were immune
+    # because model.init returns device arrays).
+    variables = jax.device_put(variables)
     return ModelBundle(model=model, variables=variables, cfg=cfg)
 
 

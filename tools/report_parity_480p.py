@@ -68,6 +68,9 @@ def build_core(use_long_term: bool, weights: str, **overrides):
     zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
     variables = convert_torch_state_dict(sd, zeros,
                                          strict=(weights != "trained"))
+    # commit to device once — numpy leaves would re-upload ~140MB per jitted
+    # step (the round-4 0.3 FPS bench collapse; see build_model)
+    variables = jax.device_put(variables)
     return InferenceCore(ModelBundle(model=model, variables=variables, cfg=cfg), cfg)
 
 
