@@ -75,7 +75,12 @@ def init_state(*, batch: int, max_objects: int, h: int, w: int,
                dtype=jnp.float32) -> MemoryState:
     """Allocate an all-empty state. h/w are stride-16 dims; HW = h*w tokens/frame."""
     hw = h * w
-    pcap = perm_frames * hw
+    # token capacities round up to sublane multiples (8) so the pallas read
+    # can DMA each store's tail chunk in place (Mosaic: DMA slice shapes
+    # must be 8-aligned); the extra slots sit beyond perm_n / lt_count and
+    # are masked invalid everywhere
+    pcap = -(-perm_frames * hw // 8) * 8
+    lt_capacity = -(-lt_capacity // 8) * 8
     B, O = batch, max_objects
     f32 = jnp.float32
     return MemoryState(
@@ -179,6 +184,7 @@ def resize_lt_capacity(state: MemoryState, new_cap: int) -> MemoryState:
     consolidation governs which tokens matter — a shrink below the live
     count simply forces the next eviction earlier)."""
     cap = state.lt_key.shape[1]
+    new_cap = -(-new_cap // 8) * 8  # sublane-aligned (DMA tail chunks)
     if new_cap == cap:
         return state
 
@@ -209,6 +215,7 @@ def grow_perm(state: MemoryState, new_perm_tokens: int) -> MemoryState:
         pad[axis] = (0, new_perm_tokens - x.shape[axis])
         return jnp.pad(x, pad)
 
+    new_perm_tokens = -(-new_perm_tokens // 8) * 8  # sublane-aligned (DMA)
     if state.perm_key.shape[1] >= new_perm_tokens:
         return state
     return state.replace(

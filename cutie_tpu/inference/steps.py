@@ -218,6 +218,7 @@ class StepFunctions:
         lt_valid = jnp.arange(lcap) < state.lt_count                    # [L]
         global_valid = jnp.concatenate([perm_valid, lt_valid, work_tok_valid])
 
+        backend = self._pick_read_backend(pcap + lcap + f * hw)
         if self.mem_mesh is None:
             mem_key = jnp.concatenate(
                 [state.perm_key, state.lt_key,
@@ -225,11 +226,12 @@ class StepFunctions:
             mem_shrink = jnp.concatenate(
                 [state.perm_shrink, state.lt_shrink,
                  state.work_shrink.reshape(b, f * hw)], axis=1)
-            mem_value = jnp.concatenate(
-                [state.perm_value, state.lt_value,
-                 state.work_value.reshape(b, o, f * hw, cv)], axis=2)
-
-        backend = self._pick_read_backend(pcap + lcap + f * hw)
+            if backend != "pallas":
+                # the pallas kernel streams the three stores in place;
+                # only the dense/radix XLA paths need the concat
+                mem_value = jnp.concatenate(
+                    [state.perm_value, state.lt_value,
+                     state.work_value.reshape(b, o, f * hw, cv)], axis=2)
         if self.mem_mesh is None and backend != "pallas":
             sim = get_similarity(mem_key, mem_shrink, qk, qe)  # unmasked, once
 
@@ -247,14 +249,13 @@ class StepFunctions:
                      & jnp.repeat(state.work_obj_valid[rep], hw))[None],
                     b=b, f=f, hw=hw, o=o, ck=ck, cv=cv)
             elif backend == "pallas":
-                obj_tok_valid = jnp.concatenate([
-                    state.perm_obj_valid[rep],
-                    state.lt_obj_valid[rep],
-                    jnp.repeat(state.work_obj_valid[rep], hw),
-                ])
-                r, usage = self._pallas_bucket_read(
-                    mem_key, mem_shrink, qk, qe, mem_value,
-                    global_valid & obj_tok_valid)
+                r, lt_usage, work_usage = self._pallas_bucket_read(
+                    state, qk, qe,
+                    (perm_valid & state.perm_obj_valid[rep],
+                     lt_valid & state.lt_obj_valid[rep],
+                     work_tok_valid
+                     & jnp.repeat(state.work_obj_valid[rep], hw)),
+                    b=b, f=f, hw=hw, o=o)
             else:
                 obj_tok_valid = jnp.concatenate([
                     state.perm_obj_valid[rep],
@@ -274,7 +275,7 @@ class StepFunctions:
                 r = readout(affinity, mem_value, compute_dtype=rd_dtype)
             if self.use_long_term:
                 # usage bookkeeping (kv_memory_store.py:151-162)
-                if self.mem_mesh is None:
+                if self.mem_mesh is None and backend != "pallas":
                     lt_usage = usage[:, pcap:pcap + lcap]
                     work_usage = usage[:, pcap + lcap:]
                 work_usage = work_usage.reshape(b, f, hw)
@@ -310,50 +311,117 @@ class StepFunctions:
             return "radix"
         return "dense"
 
-    def _pallas_bucket_read(self, mem_key, mem_shrink, qk, qe, mem_value,
-                            valid):
+    def _pallas_bucket_read(self, state: MemoryState, qk, qe, valids, *,
+                            b, f, hw, o):
         """Fused VMEM-resident radix read for one bucket
         (ops/pallas_kernels.py:radix_topk_readout; single-batch-row kernel,
-        unrolled over the static batch axis)."""
+        unrolled over the static batch axis).
+
+        The perm | lt | work VALUE stores stream IN PLACE through the
+        kernel (no per-frame concat/pad/transpose of the ~115 MB value
+        store — ~1 ms/frame of the round-4 LT trace). The resident
+        keys/shrinkage/valid are laid out per the kernel's segment
+        contract: each segment padded to a block_n multiple (tails
+        valid=False), usage returned in the same padded coordinates and
+        split back here.
+
+        valids: (perm, lt, work) token-validity [cap_s] bool, already
+        ANDed with the bucket's object validity.
+        Returns (readout [B, O, P, Cv], lt_usage [B, lcap],
+        work_usage [B, F*HW])."""
         from cutie_tpu.ops.pallas_kernels import radix_topk_readout
 
-        b, n, _ = mem_key.shape
         p = qk.shape[1]
-        bn = 512
-        n_pad = -(-n // bn) * bn
-        # amp: stream values bf16 + bf16 readout matmul (the reference's
-        # autocast readout bmm); similarity/threshold stay fp32 exact
+        ck = state.perm_key.shape[-1]
+        cv = state.work_value.shape[-1]
+        pcap, lcap, whw = (state.perm_key.shape[1], state.lt_key.shape[1],
+                           f * hw)
+        import os
+        bn = int(os.environ.get("CUTIE_TPU_PALLAS_BLOCK_N", "512"))
+        # Mosaic DMAs need 8-aligned (sublane) slice shapes: perm/lt
+        # capacities are allocated 8-aligned (state.py) and stream IN
+        # PLACE; the work ring's flat token count (F*HW) generally isn't,
+        # so its VALUE view gets one cheap pad copy to the next multiple
+        # of 8 (vs the full perm|lt|work concat+pad+transpose this path
+        # replaces — ~1 ms/frame of the round-4 LT trace).
+        whw8 = -(-whw // 8) * 8
+        caps = (pcap, lcap, whw8)
+        key_parts = (state.perm_key, state.lt_key,
+                     jnp.pad(state.work_key.reshape(b, whw, ck),
+                             ((0, 0), (0, whw8 - whw), (0, 0))))
+        shr_parts = (state.perm_shrink, state.lt_shrink,
+                     jnp.pad(state.work_shrink.reshape(b, whw),
+                             ((0, 0), (0, whw8 - whw))))
+        val_parts = (state.perm_value, state.lt_value,
+                     jnp.pad(state.work_value.reshape(b, o, whw, cv),
+                             ((0, 0), (0, 0), (0, whw8 - whw), (0, 0))))
+        if all(c >= bn and c % 8 == 0 for c in caps):
+            pads = tuple(-(-c // bn) * bn for c in caps)
+            segments = True
+        else:
+            # tiny-capacity configs: one concatenated value segment
+            n_real = sum(caps)
+            pads = (-(-n_real // bn) * bn,)
+            segments = False
+        n_pad = sum(pads)
+
+        def lay_out(parts, pad_width_fn):
+            if segments:
+                padded = [pad_width_fn(x, pads[i] - caps[i])
+                          for i, x in enumerate(parts)]
+            else:
+                padded = [pad_width_fn(jnp.concatenate(parts, axis=-2
+                                                       if parts[0].ndim > 2
+                                                       else -1),
+                                       n_pad - sum(caps))]
+            return jnp.concatenate(padded, axis=-2 if parts[0].ndim > 2
+                                   else -1)
+
+        valids = (valids[0], valids[1],
+                  jnp.pad(valids[2], (0, whw8 - whw)))
+        mk_all = lay_out(key_parts,
+                         lambda x, w: jnp.pad(x, ((0, 0), (0, w), (0, 0))))
+        ms_all = lay_out(shr_parts, lambda x, w: jnp.pad(x, ((0, 0), (0, w))))
+        valid_all = lay_out(tuple(v[None] for v in valids),
+                            lambda x, w: jnp.pad(x, ((0, 0), (0, w))))[0]
+
+        # amp: bf16 readout matmul (the reference's autocast readout bmm);
+        # similarity/threshold stay fp32 exact. Values stream in their
+        # storage dtype either way (DMA is double-buffered behind the dots).
         vdt = (jnp.bfloat16 if self.model.dtype == jnp.bfloat16
                else jnp.float32)
         # block_p bounded so the [block_p, N] similarity scratch stays well
-        # inside VMEM (see kernel docstring). Larger blocks mean fewer full
-        # passes over the value store — the dominant HBM term at LT sizes —
-        # so take the biggest block the scratch budget allows.
-        if vdt == jnp.bfloat16 and n_pad * 4 * 512 <= 60 * 1024 * 1024:
-            bp = 512
-        elif n_pad * 4 * 256 <= 48 * 1024 * 1024:
-            bp = 256
-        else:
-            bp = 128
+        # inside VMEM (see kernel docstring; bp=512 measured slower —
+        # tools/probe_radix_variants.py 2026-08-20).
+        bp = 256 if n_pad * 4 * 256 <= 48 * 1024 * 1024 else 128
+        bp = int(os.environ.get("CUTIE_TPU_PALLAS_BLOCK_P", str(bp)))
         p_pad = -(-p // bp) * bp
-        valid_pad = jnp.pad(valid, (0, n_pad - n))
-        rs, us = [], []
+        rs, lt_us, work_us = [], [], []
         for bi in range(b):
-            mk = jnp.pad(mem_key[bi], ((0, n_pad - n), (0, 0)))
-            ms = jnp.pad(mem_shrink[bi], (0, n_pad - n))
             # padded queries: qk=1e6/qe=1 saturates their similarity to
             # ~-1e12 — exp underflows to 0, so they add nothing to usage
             qkp = jnp.pad(qk[bi], ((0, p_pad - p), (0, 0)),
                           constant_values=1e6)
             qep = jnp.pad(qe[bi], ((0, p_pad - p), (0, 0)),
                           constant_values=1.0)
-            vv = jnp.pad(mem_value[bi], ((0, 0), (0, n_pad - n), (0, 0)))
-            r, u = radix_topk_readout(mk, ms, valid_pad, qkp, qep, vv,
+            if segments:
+                segs = tuple(v[bi] for v in val_parts)
+            else:
+                segs = (jnp.pad(jnp.concatenate([v[bi] for v in val_parts],
+                                                axis=1),
+                                ((0, 0), (0, n_pad - sum(caps)), (0, 0))),)
+            r, u = radix_topk_readout(mk_all[bi], ms_all[bi], valid_all,
+                                      qkp, qep, segs,
                                       self.top_k, block_p=bp, block_n=bn,
                                       value_dtype=vdt)
             rs.append(r[:, :p])
-            us.append(u[:n])
-        return jnp.stack(rs), jnp.stack(us)
+            if segments:
+                lt_us.append(u[pads[0]:pads[0] + lcap])
+                work_us.append(u[pads[0] + pads[1]:pads[0] + pads[1] + whw])
+            else:
+                lt_us.append(u[pcap:pcap + lcap])
+                work_us.append(u[pcap + lcap:pcap + lcap + whw])
+        return jnp.stack(rs), jnp.stack(lt_us), jnp.stack(work_us)
 
     def _composite_bucket_read(self, state, qk, qe, perm_valid, lt_valid,
                                work_valid, *, b, f, hw, o, ck, cv):

@@ -346,3 +346,19 @@ def test_update_config_grows_working_memory():
     assert core.ring_frames == 2 and core._work_count == 2
     p = core.step(frames[0])
     assert np.isfinite(np.asarray(p)).all()
+
+
+def test_stream_pallas_read_backend_parity(monkeypatch):
+    """Forcing the fused Pallas read backend (interpret mode, tiny block
+    sizes so the small fixture's per-segment capacities exceed block_n)
+    must match the golden LT stream. Exercises the steps.py resident
+    segment layout + in-place value streaming end to end on CPU — the
+    kernel-level unit tests cannot see that layer (round-5 lesson: a
+    segment-alignment bug compiled fine everywhere except the real chip).
+    """
+    monkeypatch.setenv("CUTIE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUTIE_TPU_PALLAS_BLOCK_N", "8")
+    monkeypatch.setenv("CUTIE_TPU_PALLAS_BLOCK_P", "16")
+    core = _run_stream("lt", use_long_term=True,
+                       cfg_extra={"read_backend": "pallas"})
+    assert core._lt_count > 0

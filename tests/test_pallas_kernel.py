@@ -167,3 +167,65 @@ def test_radix_topk_readout_bf16_values():
     # readout: bf16 contraction tolerance
     np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_radix_topk_readout_multi_segment():
+    """Per-segment value streaming (perm|lt|work in place): the resident
+    keys live in block_n-ALIGNED per-segment regions (tails valid=False);
+    value caps need not be block_n multiples — tail chunks DMA only their
+    real rows (caps must be 8-aligned like the production state buffers).
+    Must match the XLA chain on the equivalent flat layout."""
+    import jax.numpy as jnp
+
+    from cutie_tpu.ops.memory import get_similarity, readout, topk_softmax
+    from cutie_tpu.ops.pallas_kernels import radix_topk_readout
+
+    rng = np.random.default_rng(5)
+    caps = (296, 424, 560)  # 8-aligned, none a block_n multiple, all >= bn
+    bn = 256
+    pads = tuple(-(-c // bn) * bn for c in caps)  # 512, 512, 768
+    n = sum(pads)
+    p, o, ck, cv, k = 128, 2, 64, 64, 30
+
+    # per-segment real data + padded resident layout
+    seg_keys, seg_ms, seg_valid, seg_vals = [], [], [], []
+    mk = np.zeros((n, ck), np.float32)
+    ms = np.ones((n,), np.float32)
+    valid = np.zeros((n,), bool)
+    off = 0
+    for c, pd in zip(caps, pads):
+        kk = rng.normal(size=(c, ck)).astype(np.float32)
+        sh = rng.uniform(1, 3, size=(c,)).astype(np.float32)
+        vl = np.ones((c,), bool)
+        vv = rng.normal(size=(o, c, cv)).astype(np.float32)
+        mk[off:off + c] = kk
+        ms[off:off + c] = sh
+        valid[off:off + c] = vl
+        seg_vals.append(jnp.asarray(vv))
+        seg_keys.append(kk); seg_ms.append(sh); seg_valid.append(vl)
+        off += pd
+    valid[10:40] = False  # a hole inside the first segment
+
+    qk = rng.normal(size=(p, ck)).astype(np.float32)
+    qe = rng.uniform(size=(p, ck)).astype(np.float32)
+
+    rd_seg, use_seg = radix_topk_readout(
+        jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(valid), jnp.asarray(qk),
+        jnp.asarray(qe), tuple(seg_vals), k, block_p=128, block_n=bn,
+        interpret=True)
+
+    # XLA reference on the SAME padded-resident layout (pad tokens invalid,
+    # pad value rows zero — they never enter the top-k)
+    vals_flat = np.zeros((o, n, cv), np.float32)
+    off = 0
+    for (c, pd), vv in zip(zip(caps, pads), seg_vals):
+        vals_flat[:, off:off + c] = np.asarray(vv)
+        off += pd
+    sim = get_similarity(mk[None], ms[None], qk[None], qe[None],
+                         valid=jnp.asarray(valid)[None])
+    aff, use_ref = topk_softmax(sim, k, return_usage=True)
+    rd_ref = readout(aff, jnp.asarray(vals_flat)[None])[0]
+    np.testing.assert_allclose(np.asarray(rd_seg), np.asarray(rd_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(use_seg), np.asarray(use_ref[0]),
+                               rtol=1e-5, atol=1e-5)

@@ -38,7 +38,7 @@ def main():
     from cutie_tpu.inference import InferenceCore
 
     frames, mask0 = synth_video(n_frames, H, W)
-    cfg = _bench_config("d17-val")
+    cfg = _bench_config(os.environ.get("BISECT_DATASET", "d17-val"))
     if backend != "auto":
         cfg.read_backend = backend
     weights = (TRAINED_WEIGHTS if os.path.exists(TRAINED_WEIGHTS)
@@ -74,7 +74,7 @@ def main():
     n = n_frames - 1
     print(f"[{tag}] backend={backend} fast_stem="
           f"{os.environ.get('CUTIE_TPU_FAST_STEM', '1')} gbits="
-          f"{os.environ.get('CUTIE_TPU_RADIX_GROUP_BITS', '4')}: "
+          f"{os.environ.get('CUTIE_TPU_RADIX_GROUP_BITS', '1')}: "
           f"{best / n * 1000:.1f} ms/frame = {n / best:.1f} FPS", flush=True)
 
 

@@ -57,9 +57,15 @@ def main():
 
     def mk_fn(bp, vdt, **kw):
         def f(q):
-            return radix_topk_readout(mk, ms, valid, q, qe, vals, K,
+            # pad queries to the block like inference/steps.py does
+            # (qk=1e6/qe=1 saturates similarity; contributes nothing)
+            pp = -(-P // bp) * bp
+            qp = jnp.pad(q, ((0, pp - P), (0, 0)), constant_values=1e6)
+            qep = jnp.pad(qe, ((0, pp - P), (0, 0)), constant_values=1.0)
+            r, u = radix_topk_readout(mk, ms, valid, qp, qep, vals, K,
                                       block_p=bp, block_n=512,
                                       value_dtype=vdt, **kw)
+            return r[:, :P], u
         return f
 
     for name, fn in [
