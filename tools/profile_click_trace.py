@@ -6,6 +6,28 @@ lightweight monkeypatch probes, and (b) captures a jax.profiler device
 trace of one warm click to split device-busy vs host/dispatch time.
 
 Usage: python tools/profile_click_trace.py
+
+FINDINGS (2026-08-20, round 5, one v5e over the dev tunnel — this tool +
+a NoBRS control trace + cProfile of the NoBRS pass):
+  f-BRS-B warm click (bench default): median 315-340 ms wall.
+    - device:  ~217 ms/click traced — BRS L-BFGS while-loops (~110 ms:
+      ~25 head re-evals on [2,16,27,270] ROI features, each a chain of
+      tiny latency-bound convs, plus optax two-loop math on [540]) + HRNet
+      backbone/head convs (~70 ms at <10 TF/s — 16x27 spatial with 18-144
+      channels barely fills the MXU).
+  NoBRS control: median ~200-300 ms wall, device only 13.9 ms/click:
+    - ~125 ms/click = the ONE blocking D2H fetch (jax _value wait:
+      200 KB low-res logits + remote execution + tunnel RTT; a bare
+      dispatch+200KB-fetch microbench costs 28-33 ms RTT, the rest is
+      remote queue/exec wait),
+    - ~50 ms/click = host transforms (ZoomIn crop+resize ~18, split-upload
+      ~12, torch bilinear up ~10, inverse transforms ~5).
+  CONCLUSION: the warm click over the dev tunnel is TRANSPORT-bound
+  (fetch wait + host), not compute-bound; the <150 ms target (VERDICT
+  r3 #6) is reachable only on a directly-attached host (fetch ~1 ms:
+  NoBRS ~=65 ms, f-BRS-B ~=150 ms with the BRS loop the next lever —
+  its serial L-BFGS math and tiny-conv head re-evals are the remaining
+  device cost ranked first for any future pass).
 """
 import os
 import sys
