@@ -32,18 +32,29 @@ from cutie_tpu.ops.memory import (get_similarity, readout, softmax_affinity,
 # fastest in-graph at 1.7 ms/frame" while the device was really spending
 # ~16 ms — always force a D2H fetch when timing, see
 # .claude/skills/verify/SKILL.md):
-#   fused per-frame step, 480p 3 objects (tools/bench_read_backend.py):
+#   fused per-frame step, 480p 3 objects (tools/bench_read_backend.py;
+#   lvos re-measured 2026-08-20 round 5 after the segmented-kernel work):
 #     d17  (N~8k):  dense 16.1 ms/frame | radix 8.0            (2.0x)
-#     lvos (N~28k): dense 52.7 ms/frame | radix 19.3 | pallas 17.1 (3.1x)
+#     lvos (N~28k): dense 52.7 ms/frame | radix 19.3 | pallas 11.6 (4.5x)
 #   the bitonic-sort lax.top_k is ~half the dense frame at N=8k and ~60%
 #   at N=28k; radix-select replaces it with 32 compare+count passes, and
-#   the Pallas kernel keeps the similarity VMEM-resident, winning past
-#   the standalone crossover (~16k tokens, tools/bench_pallas.py).
+#   the Pallas kernel keeps the similarity VMEM-resident (fused K=128
+#   similarity dot, double-buffered in-place segment value streaming),
+#   winning past the standalone crossover (~16k tokens, tools/bench_pallas.py).
 # 'auto': radix on accelerators, pallas past PALLAS_MIN_TOKENS (TPU only
 # — guarded below), dense on CPU (golden-fixture tie behavior) and tiny
-# buffers.
+# buffers. Round 5: the segmented kernel (fused K=128 similarity dot +
+# double-buffered in-place value streaming) moved the in-step crossover
+# below d17 scale — 60-frame steady state 7.8 ms/frame pallas vs 8.0
+# radix at N=8112 (tools/bisect_r4.py 2026-08-20) — so the threshold
+# drops from 16384 to cover the standard-eval memory size.
 RADIX_MIN_TOKENS = 1024
-PALLAS_MIN_TOKENS = 16384
+PALLAS_MIN_TOKENS = 8000        # fp32 models
+PALLAS_MIN_TOKENS_AMP = 16384   # bf16: radix still wins at d17 scale
+                                # (147.5 vs 139.9 FPS, bench 2026-08-20 —
+                                # the amp radix readout is already a
+                                # 1-pass bf16 bmm, so the kernel's only
+                                # edge there is the avoided sort)
 
 
 class FrameFeatures(NamedTuple):
@@ -305,7 +316,10 @@ class StepFunctions:
         backend = jax.default_backend()
         if backend == "cpu":
             return "dense"
-        if n_tokens >= PALLAS_MIN_TOKENS and backend == "tpu":
+        pallas_min = (PALLAS_MIN_TOKENS_AMP
+                      if self.model.dtype == jnp.bfloat16
+                      else PALLAS_MIN_TOKENS)
+        if n_tokens >= pallas_min and backend == "tpu":
             return "pallas"  # Mosaic kernel: TPU only
         if n_tokens >= RADIX_MIN_TOKENS:
             return "radix"

@@ -298,9 +298,15 @@ def _radix_read_kernel(mk_ref, ms_ref, valid_ref, qk_ref, qe_ref, *refs,
                         - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 pairs = ((w_hi, v_hi), (w_hi, v_lo), (w_lo, v_hi))
             for a_op, b_op in pairs:
+                # explicit DEFAULT precision: an ambient
+                # jax.default_matmul_precision("highest") context (the
+                # parity/xiou gates run under one) would otherwise request
+                # a 6-pass decomposition of a bf16xbf16 dot, which Mosaic
+                # rejects ("Bad lhs type")
                 acc = acc + jax.lax.dot_general(
                     a_op, b_op, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
             out.append(acc)
         return tuple(out)
 

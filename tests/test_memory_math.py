@@ -152,26 +152,37 @@ def test_compact_readout_matches_dense():
 
 def test_auto_read_backend_policy(monkeypatch):
     """auto = dense on CPU (golden tie behavior), radix on accelerators,
-    pallas only on real TPU past PALLAS_MIN_TOKENS; explicit settings pass
-    through untouched."""
+    pallas only on real TPU past the (dtype-dependent) token threshold;
+    explicit settings pass through untouched."""
     import jax
+    import jax.numpy as jnp
     from cutie_tpu.inference import steps
 
-    class S:  # minimal stand-in: _pick_read_backend only reads read_backend
+    class M:
+        def __init__(self, dtype):
+            self.dtype = dtype
+
+    class S:  # minimal stand-in for _pick_read_backend's attribute reads
         _pick = steps.StepFunctions._pick_read_backend
 
-        def __init__(self, rb):
+        def __init__(self, rb, dtype=jnp.float32):
             self.read_backend = rb
+            self.model = M(dtype)
 
-    def pick(rb, n, backend):
+    def pick(rb, n, backend, dtype=jnp.float32):
         monkeypatch.setattr(jax, "default_backend", lambda: backend)
-        return S._pick(S(rb), n)
+        return S._pick(S(rb, dtype), n)
 
     assert pick("auto", 512, "cpu") == "dense"
     assert pick("auto", 50000, "cpu") == "dense"
     assert pick("auto", 512, "tpu") == "dense"
-    assert pick("auto", 8108, "tpu") == "radix"
+    assert pick("auto", 4000, "tpu") == "radix"
+    # fp32: the segmented kernel wins from d17 scale (~8.1k tokens) up
+    assert pick("auto", 8108, "tpu") == "pallas"
     assert pick("auto", 27948, "tpu") == "pallas"
+    # bf16 (amp): radix keeps d17 scale, kernel takes over at LT scale
+    assert pick("auto", 8108, "tpu", jnp.bfloat16) == "radix"
+    assert pick("auto", 27948, "tpu", jnp.bfloat16) == "pallas"
     assert pick("auto", 27948, "gpu") == "radix"  # Mosaic kernel: TPU only
     assert pick("pallas", 64, "cpu") == "pallas"  # explicit wins
     assert pick("dense", 50000, "tpu") == "dense"

@@ -6,19 +6,25 @@ prints an op-class breakdown from the trace-viewer JSON: total device
 time, achieved TFLOP/s and HBM GB/s, top individual ops, and the
 flop-efficiency histogram.
 
-Findings on one v5e (2026-08, recorded so the next perf pass starts from
-data, not guesses):
-  - 533 ms/step device time; 22.7 TFLOP/s achieved (~11% of bf16 peak),
-    417 GB/s HBM (~51%) -> the step is data-movement-bound, not MXU-bound.
-  - 53% of device time is in zero-FLOP ops: ~86 ms/step layout copies
-    (tens of thousands of small transposes around the grouped convs),
-    PointRend gathers (~20 ms) + the backward scatter of point_sample
-    (28.5 ms, the single biggest op) + uncertainty sorts (~13 ms).
-  - The FLOP-carrying fusions split ~300 ms below 10 TF/s (many small
-    convs at 480^2 with narrow channel counts) vs ~113 ms above 100 TF/s.
-  No single 2x lever exists; candidates in order: layout-copy reduction
-  around group convs, a sort-free uncertainty top-k, scatter-free
-  point-sample backward.
+Findings on one v5e (2026-08-20, round 5 — post matmul-stem (e8ebb23/
+475265b) + gather-free point supervision (6967831) rewrites; supersedes
+the round-2 533 ms/22.7 TF/s block):
+  - 304 ms/step device (341 ms wall warm, tools/profile_train.py; fp32:
+    426 ms); 47.6 TFLOP/s achieved (~24% of bf16 peak) at 779 GB/s HBM
+    (~95% of the 819 GB/s roofline) -> the step is now effectively
+    HBM-BOUND; training MFU is formally retired as a lever (VERDICT r4
+    #3): 2x more would require activation-traffic reduction (wider
+    fusion/remat policy), not better matmuls.
+  - zero-FLOP share is down from 53% to 37%: 65 ms/step layout copies +
+    21 ms reshapes (the remaining fold/unfold seams around the matmul
+    stems and grouped convs); the point-supervision scatter/sort block
+    is gone from the top-op list.
+  - FLOP ops: 70 ms/step >=100 TF/s (the big matmul/conv fusions) vs
+    71 ms below 10 TF/s — the tail is the T=8 BPTT while-loop bodies on
+    [*, 8192]-token attention shapes (6 x ~3 ms visible as while.6x).
+  Projection (main training, 125k iters, global batch 16 = 8 chips x 2):
+  11.8 h bf16 / 14.8 h fp32 vs the reference's ~30 h both-stage budget
+  on 4xA100 (docs/TRAINING.md:62).
 """
 import collections
 import glob
