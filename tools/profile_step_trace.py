@@ -11,6 +11,28 @@ and which stay bandwidth/latency-bound — the round-2 question was why amp
 buys only 1.16x end to end (VERDICT r2 weakness #2).
 
 Usage: python tools/profile_step_trace.py [--amp] [--lt]
+
+FINDINGS (2026-08-20, round 5, one v5e; all three warm steady-state
+traces taken the same day the 127.0/150.3/86.1/96.8 FPS bench landed):
+  d17 fp32 (XLA radix read at the time of the trace; the segmented
+  pallas kernel has since taken this config to 7.8 ms/frame):
+    8.26 ms/step device, 63.7 TF/s, 27% zero-flop. Read chain ~1.85 ms
+    (radix while 0.39 + count fusion 0.39 + key materialize 0.16 +
+    dense-affinity readout matmul 0.90), conditional memorize 0.90
+    amortized, stem/encoder fold copies ~1.3.
+  d17 amp: 6.78 ms/step device, 77.6 TF/s, 29% zero-flop. The remaining
+    time: XLA radix select chain 0.94 ms (fp32 by the reference's
+    precision map — cutie.py:119-128 forces the similarity island), the
+    fp32-island tiny convs (GRUs/decoder logits) in the <10 TF/s bucket
+    1.75 ms, memorize 0.69, fold-seam copies ~1.2. amp end-to-end is
+    1.18x fp32 (150.3/127.0) because the islands + select don't scale
+    with dtype; pushing past ~170 FPS requires relaxing the fp32
+    similarity island, which parity forbids.
+  lvos LT fp32 (pre-segmented-kernel trace): 14.75 ms/step device, the
+    fused read 6.8 ms (46%) + ~1 ms XLA concat/pad/transpose staging its
+    value input — both attacked by the round-5 kernel rewrite (fused
+    K=128 similarity dot, double-buffered in-place segment streaming):
+    11.6 ms/frame measured after (86.1 FPS in-bench).
 """
 import os
 import sys
